@@ -1,0 +1,136 @@
+"""Shared functional NN primitives (NHWC, TPU-native).
+
+All model code in this package is written as pure ``apply(params, x)``
+functions over parameter pytrees (nested dicts of jnp arrays), with NHWC
+activations and HWIO conv kernels — the layouts XLA tiles best onto the TPU
+MXU. Weight converters map PyTorch state dicts (OIHW / [out,in] linear)
+into this layout once, offline.
+
+Precision policy: ``compute_dtype=float32`` implies Precision.HIGHEST on
+matmul/conv (bit-accurate parity with the f32 PyTorch reference — this
+environment's default matmul precision is bf16-like); ``bfloat16`` uses the
+fast default path for throughput.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def precision_for(dtype) -> Optional[jax.lax.Precision]:
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def dense(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+          *, precision=None) -> jnp.ndarray:
+    """x [B, in] @ weight [in, out] (+ bias)."""
+    y = jnp.dot(x, weight, precision=precision)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
+           padding=((1, 1), (1, 1)), feature_group_count: int = 1,
+           precision=None) -> jnp.ndarray:
+    """NHWC conv with HWIO kernel."""
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count, precision=precision)
+
+
+def conv2d_transpose(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 2,
+                     padding: int = 1, precision=None) -> jnp.ndarray:
+    """Matches torch.nn.functional.conv_transpose2d(stride, padding).
+
+    kernel is in torch-transpose layout converted to HWIO-with-swapped-IO:
+    we expect kernel [kh, kw, out, in] here (i.e. HW + (torch's in/out
+    swapped)), and use ``transpose_kernel=True`` so lax mirrors torch's
+    deconvolution exactly.
+    """
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pad = ((kh - 1 - padding, kh - 1 - padding),
+           (kw - 1 - padding, kw - 1 - padding))
+    return jax.lax.conv_transpose(
+        x, kernel, strides=(stride, stride), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+        precision=precision)
+
+
+def lrelu(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel PReLU; alpha broadcast over trailing channel dim."""
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def pixel_norm(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Normalise over the channel (last) axis. Reference:
+    models/stylegan_generator_model.py:398-406 (channel dim=1 in NCHW)."""
+    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+                             + eps)
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Per-sample, per-channel spatial normalisation (NHWC).
+
+    Stats in f32 for bf16 safety. Reference:
+    models/stylegan_generator_model.py:409-423.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsample, NHWC, via reshape/broadcast (no gather)."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def blur_3x3(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
+    """Depthwise binomial [1,2,1] x [1,2,1] / 16 blur (StyleGAN BlurLayer,
+    models/stylegan_generator_model.py:441-463)."""
+    c = x.shape[-1]
+    k1 = jnp.array([1.0, 2.0, 1.0], x.dtype)
+    k = jnp.outer(k1, k1) / 16.0
+    kernel = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 (dw)
+    return conv2d(x, kernel, padding=((1, 1), (1, 1)),
+                  feature_group_count=c, precision=precision)
+
+
+def fold_batchnorm(gamma, beta, mean, var, eps):
+    """Fold BN running stats into an affine (scale, shift) pair."""
+    gamma = np.asarray(gamma, np.float64)
+    beta = np.asarray(beta, np.float64)
+    mean = np.asarray(mean, np.float64)
+    var = np.asarray(var, np.float64)
+    scale = gamma / np.sqrt(var + eps)
+    shift = beta - mean * scale
+    return scale.astype(np.float32), shift.astype(np.float32)
+
+
+def affine_channels(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Per-channel affine over the last axis (folded BatchNorm)."""
+    return x * scale + shift
+
+
+def torch_conv_to_hwio(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def torch_linear_to_io(w: np.ndarray) -> np.ndarray:
+    """[out, in] -> [in, out]."""
+    return np.transpose(np.asarray(w), (1, 0))

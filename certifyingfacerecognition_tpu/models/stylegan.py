@@ -1,0 +1,330 @@
+"""StyleGAN-1 generator, TPU-native (functional JAX, NHWC).
+
+Re-design of the reference PyTorch implementation
+(/root/reference/models/stylegan_generator_model.py) with the same numerical
+semantics but TPU-first structure:
+
+  * pure ``apply(params, x)`` functions over a parameter pytree, fully
+    jit/vmap/grad-safe — no modules, no host round-trips;
+  * NHWC activations / HWIO kernels (MXU-friendly layouts);
+  * the fused-scale transposed conv (stylegan_generator_model.py:643-672,
+    used for resolutions >= 128) has its 4x4 kernel precomputed at weight
+    conversion time instead of being rebuilt every forward pass;
+  * intermediate ToRGB heads are skipped (the reference computes and
+    discards one per resolution, stylegan_generator_model.py:380-395);
+  * optional bfloat16 compute (instance-norm statistics stay f32).
+
+Equalised-learning-rate (wscale) conventions, truncation buffers, fixed
+per-layer noise and the AdaIN style modulation all match the reference —
+see convert_torch_state_dict for the exact mapping.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import nn
+from ..constants import (STYLEGAN_TRUNCATION_LAYERS, STYLEGAN_TRUNCATION_PSI)
+
+# Resolution -> per-block channel counts (stylegan_generator_model.py:23-32).
+RESOLUTIONS_TO_CHANNELS = {
+    8: [512, 512, 512],
+    16: [512, 512, 512, 512],
+    32: [512, 512, 512, 512, 512],
+    64: [512, 512, 512, 512, 512, 256],
+    128: [512, 512, 512, 512, 512, 256, 128],
+    256: [512, 512, 512, 512, 512, 256, 128, 64],
+    512: [512, 512, 512, 512, 512, 256, 128, 64, 32],
+    1024: [512, 512, 512, 512, 512, 256, 128, 64, 32, 16],
+}
+
+# Minimal resolution for the `auto` fused-scale strategy
+# (stylegan_generator_model.py:192).
+AUTO_FUSED_SCALE_MIN_RES = 128
+
+W_DIM = 512
+MAPPING_LAYERS = 8
+MAPPING_LR_MULT = 0.01
+
+
+def num_layers(resolution: int) -> int:
+    return int(np.log2(resolution)) * 2 - 2
+
+
+def is_fused_layer(layer_idx: int) -> bool:
+    """Up-conv layers at resolution >= 128 use the fused transposed conv."""
+    cur_res = 2 ** (layer_idx // 2 + 2)
+    return cur_res >= AUTO_FUSED_SCALE_MIN_RES
+
+
+def _wscale(fan_in: int, gain: float = math.sqrt(2.0), lr_mult: float = 1.0
+            ) -> float:
+    """Runtime equalised-lr scale (stylegan_generator_model.py:508-535)."""
+    return gain / math.sqrt(fan_in) * lr_mult
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+def mapping_apply(params: Dict, z: jnp.ndarray, *,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    """8-layer mapping network Z -> W (stylegan_generator_model.py:265-295)."""
+    prec = nn.precision_for(dtype)
+    x = nn.pixel_norm(z.astype(dtype))
+    scale = _wscale(W_DIM, lr_mult=MAPPING_LR_MULT)
+    for i in range(MAPPING_LAYERS):
+        p = params["mapping"][f"dense{i}"]
+        x = nn.dense(x, p["weight"].astype(dtype), precision=prec)
+        x = x * scale + p["bias"].astype(dtype) * MAPPING_LR_MULT
+        x = nn.lrelu(x)
+    return x
+
+
+def truncation_apply(params: Dict, w: jnp.ndarray, *, resolution: int,
+                     truncation_psi: Optional[float] = STYLEGAN_TRUNCATION_PSI,
+                     truncation_layers: int = STYLEGAN_TRUNCATION_LAYERS
+                     ) -> jnp.ndarray:
+    """W [B,512] -> W+ [B,L,512] with psi-truncation toward w_avg
+    (stylegan_generator_model.py:298-328)."""
+    L = num_layers(resolution)
+    if w.ndim == 2:
+        wp = jnp.broadcast_to(w[:, None, :], (w.shape[0], L, W_DIM))
+    else:
+        wp = w
+    if truncation_psi is None:
+        return wp
+    coefs = np.ones((1, L, 1), np.float32)
+    coefs[:, :truncation_layers, :] *= truncation_psi
+    w_avg = params["truncation"]["w_avg"].reshape(1, 1, W_DIM)
+    return w_avg + (wp - w_avg) * jnp.asarray(coefs, wp.dtype)
+
+
+def _epilogue(p: Dict, x: jnp.ndarray, w_layer: jnp.ndarray, *,
+              dtype, prec) -> jnp.ndarray:
+    """noise -> bias -> lrelu -> instance-norm -> AdaIN style modulation
+    (stylegan_generator_model.py:538-565)."""
+    x = x + p["noise"].astype(dtype)[None] * p["noise_weight"].astype(dtype)
+    x = x + p["bias"].astype(dtype)
+    x = nn.lrelu(x)
+    x = nn.instance_norm(x)
+    # Style: dense(512 -> 2C) with gain 1.0, lr 1.0, linear activation.
+    c = x.shape[-1]
+    style = nn.dense(w_layer, p["style_weight"].astype(dtype), precision=prec)
+    style = style * _wscale(W_DIM, gain=1.0) + p["style_bias"].astype(dtype)
+    s0, s1 = style[:, :c], style[:, c:]
+    return x * (s0[:, None, None, :] + 1.0) + s1[:, None, None, :]
+
+
+def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """W+ [B,L,512] -> image [B,H,W,3] in [-1, 1] (value range of the
+    trained model). Reference: stylegan_generator_model.py:331-395 (lod=0)."""
+    channels = RESOLUTIONS_TO_CHANNELS[resolution]
+    syn = params["synthesis"]
+    prec = nn.precision_for(dtype)
+    wp = wp.astype(dtype)
+    B = wp.shape[0]
+
+    # layer0: learned constant + epilogue.
+    p0 = syn["layer0"]
+    x = jnp.broadcast_to(p0["const"].astype(dtype)[None],
+                         (B,) + p0["const"].shape)
+    x = _epilogue(p0, x, wp[:, 0], dtype=dtype, prec=prec)
+
+    for block_idx in range(1, len(channels)):
+        li = 2 * block_idx - 2
+        if li > 0:  # up-conv block
+            p = syn[f"layer{li}"]
+            if is_fused_layer(li):
+                # Precomputed 4x4 kernel; equivalent to torch
+                # F.conv_transpose2d(x, k, stride=2, padding=1).
+                x = jax.lax.conv_general_dilated(
+                    x, p["tconv_kernel"].astype(dtype),
+                    window_strides=(1, 1), padding=((2, 2), (2, 2)),
+                    lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=prec)
+            else:
+                x = nn.upsample_nearest_2x(x)
+                scale = _wscale(x.shape[-1] * 9)
+                x = nn.conv2d(x, p["conv_weight"].astype(dtype),
+                              precision=prec) * scale
+            x = nn.blur_3x3(x, precision=prec)
+            x = _epilogue(p, x, wp[:, li], dtype=dtype, prec=prec)
+
+        li = 2 * block_idx - 1  # plain conv block
+        p = syn[f"layer{li}"]
+        scale = _wscale(x.shape[-1] * 9)
+        x = nn.conv2d(x, p["conv_weight"].astype(dtype), precision=prec) * scale
+        x = _epilogue(p, x, wp[:, li], dtype=dtype, prec=prec)
+
+    # Final ToRGB only (intermediate heads are dead work at lod=0).
+    po = syn[f"output{len(channels) - 2}"]
+    scale = 1.0 / math.sqrt(x.shape[-1])
+    img = nn.conv2d(x, po["conv_weight"].astype(dtype),
+                    padding=((0, 0), (0, 0)), precision=prec) * scale
+    img = img + po["bias"].astype(dtype)
+    return img
+
+
+def postprocess(images: jnp.ndarray, min_val: float = -1.0,
+                max_val: float = 1.0) -> jnp.ndarray:
+    """Differentiable map to [0, 1] floats, matching the project's modified
+    postprocess (mod_stylegan_generator.py:294-309)."""
+    images = (images - min_val) / (max_val - min_val)
+    return jnp.clip(images + 0.5 / 255.0, 0.0, 1.0)
+
+
+def synthesize_from_w(params: Dict, w: jnp.ndarray, *, resolution: int,
+                      dtype=jnp.float32,
+                      truncation_psi: Optional[float] = STYLEGAN_TRUNCATION_PSI,
+                      truncation_layers: int = STYLEGAN_TRUNCATION_LAYERS
+                      ) -> jnp.ndarray:
+    """W-space path used by the whole pipeline: truncation -> synthesis ->
+    postprocess. Returns [B,H,W,3] in [0,1]."""
+    wp = truncation_apply(params, w, resolution=resolution,
+                          truncation_psi=truncation_psi,
+                          truncation_layers=truncation_layers)
+    img = synthesis_apply(params, wp, resolution=resolution, dtype=dtype)
+    return postprocess(img)
+
+
+def synthesize_from_z(params: Dict, z: jnp.ndarray, *, resolution: int,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    w = mapping_apply(params, z, dtype=dtype)
+    return synthesize_from_w(params, w, resolution=resolution, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Weight conversion
+# ---------------------------------------------------------------------------
+
+def _fused_tconv_kernel(raw_weight: np.ndarray, scale: float) -> np.ndarray:
+    """Build the effective 4x4 deconv kernel from the raw [3,3,in,out] weight.
+
+    Mirrors stylegan_generator_model.py:666-672 (pad + sum the four shifted
+    copies), then folds in the wscale and converts to the HWIO kernel of the
+    equivalent lhs-dilated forward conv (spatially flipped torch kernel).
+    """
+    k = np.asarray(raw_weight, np.float32) * scale          # [3,3,in,out]
+    k = np.pad(k, ((1, 1), (1, 1), (0, 0), (0, 0)))          # [5,5,in,out]
+    k = k[1:, 1:] + k[:-1, 1:] + k[1:, :-1] + k[:-1, :-1]    # [4,4,in,out]
+    # torch conv_transpose kernel is k.transpose(2,3,0,1) ([in,out,4,4]);
+    # the equivalent forward-conv HWIO kernel is its spatial flip.
+    return k[::-1, ::-1, :, :].copy()
+
+
+def convert_torch_state_dict(sd: Dict[str, np.ndarray], resolution: int
+                             ) -> Dict:
+    """Convert the reference's PyTorch state dict (key naming of
+    models/stylegan_generator_model.py:36-188) into our parameter pytree."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    channels = RESOLUTIONS_TO_CHANNELS[resolution]
+    params = {"mapping": {}, "truncation": {}, "synthesis": {}}
+
+    for i in range(MAPPING_LAYERS):
+        params["mapping"][f"dense{i}"] = {
+            "weight": nn.torch_linear_to_io(sd[f"mapping.dense{i}.linear.weight"]),
+            "bias": sd[f"mapping.dense{i}.wscale.bias"].astype(np.float32),
+        }
+    params["truncation"]["w_avg"] = jnp.asarray(
+        sd["truncation.w_avg"], jnp.float32)
+
+    syn = params["synthesis"]
+    L = num_layers(resolution)
+    for li in range(L):
+        pre = f"synthesis.layer{li}"
+        p = {
+            "noise": np.transpose(
+                sd[f"{pre}.epilogue.apply_noise.noise"][0], (1, 2, 0)),
+            "noise_weight": sd[f"{pre}.epilogue.apply_noise.weight"],
+            "bias": sd[f"{pre}.epilogue.bias"],
+            "style_weight": nn.torch_linear_to_io(
+                sd[f"{pre}.epilogue.style_mod.dense.linear.weight"]),
+            "style_bias": sd[f"{pre}.epilogue.style_mod.dense.wscale.bias"],
+        }
+        if li == 0:
+            p["const"] = np.transpose(sd[f"{pre}.first_layer"][0], (1, 2, 0))
+        elif li % 2 == 0 and is_fused_layer(li):
+            in_ch = channels[li // 2]
+            scale = _wscale(in_ch * 9)
+            p["tconv_kernel"] = _fused_tconv_kernel(sd[f"{pre}.weight"], scale)
+        else:
+            p["conv_weight"] = nn.torch_conv_to_hwio(sd[f"{pre}.conv.weight"])
+        syn[f"layer{li}"] = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.float32), p)
+
+    for oi in range(len(channels) - 1):
+        syn[f"output{oi}"] = {
+            "conv_weight": jnp.asarray(nn.torch_conv_to_hwio(
+                sd[f"synthesis.output{oi}.conv.weight"]), jnp.float32),
+            "bias": jnp.asarray(sd[f"synthesis.output{oi}.bias"], jnp.float32),
+        }
+
+    params["mapping"] = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32), params["mapping"])
+    return params
+
+
+def random_torch_style_state_dict(resolution: int, seed: int = 0
+                                  ) -> Dict[str, np.ndarray]:
+    """A randomly-initialised state dict with the reference's key naming and
+    shapes — used for golden tests and weight-free benchmarks."""
+    rng = np.random.default_rng(seed)
+    channels = RESOLUTIONS_TO_CHANNELS[resolution]
+    sd = {}
+    for i in range(MAPPING_LAYERS):
+        sd[f"mapping.dense{i}.linear.weight"] = rng.standard_normal(
+            (W_DIM, W_DIM)).astype(np.float32)
+        sd[f"mapping.dense{i}.wscale.bias"] = rng.standard_normal(
+            W_DIM).astype(np.float32) * 0.1
+    sd["truncation.w_avg"] = rng.standard_normal(W_DIM).astype(np.float32)
+
+    L = num_layers(resolution)
+    for li in range(L):
+        res = 2 ** (li // 2 + 2)
+        if li == 0:
+            in_ch = out_ch = channels[0]
+        elif li % 2 == 0:  # up-conv: channels[i-1] -> channels[i]
+            in_ch, out_ch = channels[li // 2], channels[li // 2 + 1]
+        else:  # plain conv within the block
+            in_ch = out_ch = channels[(li + 1) // 2]
+        pre = f"synthesis.layer{li}"
+        sd[f"{pre}.epilogue.apply_noise.noise"] = rng.standard_normal(
+            (1, 1, res, res)).astype(np.float32)
+        sd[f"{pre}.epilogue.apply_noise.weight"] = rng.standard_normal(
+            out_ch).astype(np.float32) * 0.1
+        sd[f"{pre}.epilogue.bias"] = rng.standard_normal(
+            out_ch).astype(np.float32) * 0.1
+        sd[f"{pre}.epilogue.style_mod.dense.linear.weight"] = \
+            rng.standard_normal((2 * out_ch, W_DIM)).astype(np.float32)
+        sd[f"{pre}.epilogue.style_mod.dense.wscale.bias"] = \
+            rng.standard_normal(2 * out_ch).astype(np.float32) * 0.1
+        if li == 0:
+            sd[f"{pre}.first_layer"] = rng.standard_normal(
+                (1, channels[0], 4, 4)).astype(np.float32)
+        elif li % 2 == 0 and is_fused_layer(li):
+            sd[f"{pre}.weight"] = rng.standard_normal(
+                (3, 3, in_ch, out_ch)).astype(np.float32)
+        else:
+            sd[f"{pre}.conv.weight"] = rng.standard_normal(
+                (out_ch, in_ch, 3, 3)).astype(np.float32)
+
+    for oi in range(len(channels) - 1):
+        ch = channels[oi + 1]
+        sd[f"synthesis.output{oi}.conv.weight"] = rng.standard_normal(
+            (3, ch, 1, 1)).astype(np.float32)
+        sd[f"synthesis.output{oi}.bias"] = rng.standard_normal(
+            3).astype(np.float32) * 0.1
+    return sd
+
+
+def random_params(resolution: int, seed: int = 0) -> Dict:
+    return convert_torch_state_dict(
+        random_torch_style_state_dict(resolution, seed), resolution)

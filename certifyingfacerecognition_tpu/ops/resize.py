@@ -1,0 +1,64 @@
+"""Bilinear resize with exact PyTorch semantics, expressed as two matmuls.
+
+The reference resizes generated 1024x1024 faces to the FRS input resolution
+with ``F.interpolate(mode='bilinear', align_corners=False)``
+(/root/reference/attack_utils/gen_utils.py:77-85). That operator (without
+antialiasing) is a sparse separable linear map: each output pixel mixes at
+most two input rows and two input columns. We materialise the two 1-D
+interpolation matrices once and apply them as dense matmuls — bit-matching
+torch's sampling (half-pixel centres, edge clamping) while running on the
+TPU MXU instead of a gather pipeline.
+
+Note: ``jax.image.resize`` is NOT equivalent here — it antialiases on
+downsampling (scale-dilated triangle kernel), torch's interpolate does not.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=16)
+def _interp_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """[out_size, in_size] row-stochastic bilinear sampling matrix with
+    torch align_corners=False semantics."""
+    M = np.zeros((out_size, in_size), np.float32)
+    # torch computes the source index in float32 — match it exactly, or a
+    # handful of output pixels pick the neighbouring input pixel.
+    scale = np.float32(in_size / out_size)
+    for o in range(out_size):
+        src = (np.float32(o) + np.float32(0.5)) * scale - np.float32(0.5)
+        src = float(max(src, np.float32(0.0)))
+        i0 = min(int(np.floor(src)), in_size - 1)
+        i1 = min(i0 + 1, in_size - 1)
+        frac = src - i0
+        M[o, i0] += 1.0 - frac
+        M[o, i1] += frac
+    return M
+
+
+def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
+                    *, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """x: [B, H, W, C] -> [B, out_h, out_w, C], torch-bilinear-exact."""
+    b, h, w, c = x.shape
+    Mv = jnp.asarray(_interp_matrix(out_h, h))
+    Mh = jnp.asarray(_interp_matrix(out_w, w))
+    y = jnp.einsum("oh,bhwc->bowc", Mv, x, precision=precision)
+    y = jnp.einsum("pw,bowc->bopc", Mh, y, precision=precision)
+    return y
+
+
+def transform_for_frs(images01: jnp.ndarray, img_size: int,
+                      mean: float = 0.5, std: float = 0.5,
+                      *, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Resize [0,1] images to the FRS input resolution and normalise.
+
+    Matches get_transform (gen_utils.py:77-85): bilinear resize then
+    Normalize((mean,)*3, (std,)*3).
+    """
+    x = resize_bilinear(images01, img_size, img_size, precision=precision)
+    return (x - mean) / std

@@ -1,0 +1,66 @@
+"""Tests for resize and distance ops (parity with torch semantics)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from certifyingfacerecognition_tpu.ops import distances as D
+from certifyingfacerecognition_tpu.ops import resize as R
+
+rng = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("in_size,out_size", [(64, 112), (256, 112), (64, 160),
+                                              (32, 32)])
+def test_resize_matches_torch_bilinear(in_size, out_size):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.standard_normal((2, 3, in_size, in_size)).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(x), size=(out_size, out_size),
+                         mode="bilinear", align_corners=False).numpy()
+    got = np.asarray(R.resize_bilinear(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), out_size, out_size))
+    got = np.transpose(got, (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_cdist_matches_torch_exact_mode():
+    import torch
+
+    x = rng.standard_normal((5, 512)).astype(np.float32)
+    y = rng.standard_normal((20, 512)).astype(np.float32)
+    want = torch.cdist(torch.from_numpy(x), torch.from_numpy(y),
+                       compute_mode="donot_use_mm_for_euclid_dist").numpy()
+    got = np.asarray(D.cdist(jnp.asarray(x), jnp.asarray(y), "insightface"))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def test_cosine_distance():
+    x = rng.standard_normal((4, 16)).astype(np.float32)
+    y = rng.standard_normal((6, 16)).astype(np.float32)
+    got = np.asarray(D.cdist(jnp.asarray(x), jnp.asarray(y), "facenet"))
+    np.testing.assert_allclose(got, 1 - x @ y.T, atol=1e-5)
+
+
+def test_argmin_refined_matches_exact_argmin_with_near_ties():
+    # Construct a gallery with two nearly tied candidates per query.
+    base = rng.standard_normal((64, 512)).astype(np.float32)
+    x = base[:8] + 1e-3 * rng.standard_normal((8, 512)).astype(np.float32)
+    # duplicate near-neighbours at a tiny offset
+    gallery = np.concatenate([base, base[:8] + 2e-6], axis=0).astype(np.float32)
+
+    import torch
+    want = torch.cdist(torch.from_numpy(x), torch.from_numpy(gallery),
+                       compute_mode="donot_use_mm_for_euclid_dist"
+                       ).argmin(1).numpy()
+    got = np.asarray(D.argmin_dist_refined(jnp.asarray(x),
+                                           jnp.asarray(gallery)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_probs_from_dists():
+    d = rng.uniform(10, 30, (3, 7)).astype(np.float32)
+    p = np.asarray(D.probs_from_dists(jnp.asarray(d)))
+    s = np.exp(-d / np.sqrt(512))
+    np.testing.assert_allclose(p, s / s.sum(1, keepdims=True), rtol=1e-5)

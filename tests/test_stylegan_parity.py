@@ -1,0 +1,99 @@
+"""Golden-value parity tests: JAX StyleGAN vs the reference PyTorch model.
+
+Strategy: build the reference torch model (CPU) at a small resolution, load a
+randomly-initialised state dict, convert the same state dict with our
+converter, and compare stage-by-stage outputs. This pins down the equalised-lr
+conventions, truncation, fixed noise, blur, fused-transpose upscaling and
+AdaIN semantics without needing the released FFHQ weights.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from certifyingfacerecognition_tpu.models import stylegan as sg
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")
+
+
+def _torch_model(resolution, sd_np):
+    import torch
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.stylegan_generator_model import StyleGANGeneratorModel
+
+    model = StyleGANGeneratorModel(resolution=resolution, fused_scale="auto",
+                                   truncation_psi=0.7, truncation_layers=8,
+                                   randomize_noise=False)
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd_np.items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected
+    # Only derived/constant buffers may be missing from our random dict.
+    allowed = ("truncation.truncation", "lod", "blur.kernel")
+    assert all(any(a in m for a in allowed) for m in missing)
+    return model.eval()
+
+
+@pytest.mark.parametrize("resolution", [32, 128])
+def test_full_generator_parity(resolution):
+    import torch
+
+    sd = sg.random_torch_style_state_dict(resolution, seed=3)
+    model = _torch_model(resolution, sd)
+    params = sg.convert_torch_state_dict(sd, resolution)
+
+    rng = np.random.default_rng(7)
+    L = sg.num_layers(resolution)
+    wp = rng.standard_normal((2, L, 512)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model.synthesis(torch.from_numpy(wp)).numpy()  # NCHW
+
+    got = np.asarray(sg.synthesis_apply(params, jnp.asarray(wp),
+                                        resolution=resolution))
+    got = np.transpose(got, (0, 3, 1, 2))
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5)
+
+
+def test_mapping_parity():
+    import torch
+
+    resolution = 32
+    sd = sg.random_torch_style_state_dict(resolution, seed=5)
+    model = _torch_model(resolution, sd)
+    params = sg.convert_torch_state_dict(sd, resolution)
+
+    z = np.random.default_rng(11).standard_normal((4, 512)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.mapping(torch.from_numpy(z)).numpy()
+    got = np.asarray(sg.mapping_apply(params, jnp.asarray(z)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-30)
+
+
+def test_truncation_parity():
+    import torch
+
+    resolution = 32
+    sd = sg.random_torch_style_state_dict(resolution, seed=6)
+    model = _torch_model(resolution, sd)
+    params = sg.convert_torch_state_dict(sd, resolution)
+
+    w = np.random.default_rng(13).standard_normal((3, 512)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.truncation(torch.from_numpy(w)).numpy()
+    got = np.asarray(sg.truncation_apply(params, jnp.asarray(w),
+                                         resolution=resolution))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_postprocess_matches_reference_formula():
+    x = np.linspace(-1.2, 1.2, 11).reshape(1, 1, 1, 11).astype(np.float32)
+    got = np.asarray(sg.postprocess(jnp.asarray(x)))
+    want = np.clip((x + 1.0) / 2.0 + 0.5 / 255.0, 0.0, 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-7)
