@@ -1,0 +1,163 @@
+"""Randomized-smoothing certifier, TPU-native.
+
+Functional equivalent of /root/reference/smoothing/smooth.py (Cohen-style
+certification with pluggable certificates) with the Monte-Carlo loop
+re-designed for TPU:
+
+  * the reference evaluates the base classifier through a chain of host
+    round-trips (generator micro-batches of 4, CPU softmax —
+    models/smoothing_model.py:63-72, gen_utils.py:108-139); here one jitted
+    program fuses noise sampling -> perturbation -> synthesis -> embedding ->
+    gallery argmin -> class counting, scanned over batches with zero host
+    traffic until the final counts;
+  * optional multi-chip execution: the batch axis is sharded over a ``mc``
+    mesh axis with shard_map; per-class counts are combined with a single
+    psum (the only collective this workload needs);
+  * abstain/certify decision logic (N0 selection, Clopper-Pearson bound,
+    pABar < 0.5 abstention) matches smooth.py:39-77 exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from .certificate import Certificate
+from ..utils.stats import binom_two_sided_pvalue, clopper_pearson_lower
+
+ABSTAIN = -1
+
+
+def make_counts_fn(predict_fn: Callable, num_classes: int,
+                   certificate: Certificate, batch_size: int,
+                   noise_dim: int, mesh: Optional[Mesh] = None,
+                   mc_axis: str = "mc") -> Callable:
+    """Build the fused, scanned (and optionally sharded) counting program.
+
+    predict_fn(z [512], p [B, k]) -> int32 predictions [B]. The returned
+    function maps (z, x [k], sigma, keys [n_batches], valid [n_batches]) to
+    per-class counts [num_classes] (float32), counting only the first
+    ``valid[i]`` samples of batch i so the total matches the requested N
+    exactly (mirrors the min(batch_size, num) loop at smooth.py:126-137).
+    """
+
+    def batch_counts(z, x, sigma, key, n_valid):
+        noise = certificate.sample_noise(key, (batch_size, noise_dim), sigma)
+        preds = predict_fn(z, x[None, :] + noise)
+        weights = (jnp.arange(batch_size) < n_valid).astype(jnp.float32)
+        return jnp.zeros((num_classes,), jnp.float32).at[preds].add(weights)
+
+    if mesh is not None:
+        n_dev = mesh.shape[mc_axis]
+        assert batch_size % n_dev == 0, (
+            f"batch_size {batch_size} must divide the {mc_axis} mesh axis "
+            f"({n_dev} devices)")
+        local_bs = batch_size // n_dev
+
+        def sharded_batch_counts(z, x, sigma, key, n_valid):
+            @partial(shard_map, mesh=mesh,
+                     in_specs=(P(), P(), P(), P(), P()),
+                     out_specs=P(), check_vma=False)
+            def inner(z, x, sigma, key, n_valid):
+                idx = jax.lax.axis_index(mc_axis)
+                key = jax.random.fold_in(key, idx)
+                noise = certificate.sample_noise(
+                    key, (local_bs, noise_dim), sigma)
+                preds = predict_fn(z, x[None, :] + noise)
+                offs = idx * local_bs
+                weights = ((jnp.arange(local_bs) + offs) < n_valid
+                           ).astype(jnp.float32)
+                local = jnp.zeros((num_classes,), jnp.float32
+                                  ).at[preds].add(weights)
+                return jax.lax.psum(local, mc_axis)
+
+            return inner(z, x, sigma, key, n_valid)
+
+        batch_fn = sharded_batch_counts
+    else:
+        batch_fn = batch_counts
+
+    @jax.jit
+    def counts_fn(z, x, sigma, keys, valid):
+        def body(counts, inp):
+            key, n_valid = inp
+            return counts + batch_fn(z, x, sigma, key, n_valid), None
+
+        init = jnp.zeros((num_classes,), jnp.float32)
+        counts, _ = jax.lax.scan(body, init, (keys, valid))
+        return counts
+
+    return counts_fn
+
+
+class Smooth:
+    """A smoothed classifier g (API mirror of smooth.py:11-160).
+
+    Args:
+      predict_fn: (z [512], p [B, k]) -> argmax-class predictions [B].
+      num_classes: gallery size.
+      sigma: scalar or [k] distribution parameter (anisotropic diagonal).
+      certificate: Certificate instance.
+      batch_size: device batch for the MC loop.
+      mesh: optional Mesh with an ``mc`` axis to shard the MC batch over.
+    """
+
+    ABSTAIN = ABSTAIN
+
+    def __init__(self, predict_fn: Callable, num_classes: int, sigma,
+                 certificate: Certificate, noise_dim: int,
+                 batch_size: int = 100, mesh: Optional[Mesh] = None):
+        self.num_classes = num_classes
+        self.sigma = jnp.asarray(sigma, jnp.float32)
+        self.certificate = certificate
+        self.batch_size = batch_size
+        self.noise_dim = noise_dim
+        self._counts_fn = make_counts_fn(
+            predict_fn, num_classes, certificate, batch_size, noise_dim,
+            mesh=mesh)
+
+    def _sample_noise(self, z, x, num: int, key: jax.Array) -> np.ndarray:
+        """Per-class counts from ``num`` noisy forwards (smooth.py:109-138)."""
+        n_batches = math.ceil(num / self.batch_size)
+        keys = jax.random.split(key, n_batches)
+        remainder = num - (n_batches - 1) * self.batch_size
+        valid = jnp.full((n_batches,), self.batch_size, jnp.int32
+                         ).at[-1].set(remainder)
+        counts = self._counts_fn(jnp.asarray(z, jnp.float32),
+                                 jnp.asarray(x, jnp.float32),
+                                 self.sigma, keys, valid)
+        return np.asarray(counts)
+
+    def certify(self, z, x, label: int, n0: int, n: int, alpha: float,
+                key: jax.Array):
+        """Certify g's prediction around (z, x). Returns (prediction, gap);
+        (ABSTAIN, 0.0) on abstention. Decision logic of smooth.py:39-77."""
+        k0, k1 = jax.random.split(key)
+        counts0 = self._sample_noise(z, x, n0, k0)
+        c_a_hat = int(counts0.argmax())
+        if c_a_hat != int(label):
+            return c_a_hat, 0.0
+        counts = self._sample_noise(z, x, n, k1)
+        n_a = int(counts[c_a_hat])
+        p_a_bar = clopper_pearson_lower(n_a, n, alpha)
+        if p_a_bar < 0.5:
+            return ABSTAIN, 0.0
+        return c_a_hat, self.certificate.compute_gap(p_a_bar)
+
+    def predict(self, z, x, n: int, alpha: float, key: jax.Array) -> int:
+        """Monte-Carlo prediction with the two-sided binomial abstention test
+        (smooth.py:79-107)."""
+        counts = self._sample_noise(z, x, n, key)
+        top2 = counts.argsort()[::-1][:2]
+        c1, c2 = int(counts[top2[0]]), int(counts[top2[1]])
+        if binom_two_sided_pvalue(c1, c1 + c2, 0.5) > alpha:
+            return ABSTAIN
+        return int(top2[0])
