@@ -24,8 +24,11 @@ def compute_loss(all_dists: jnp.ndarray, labels: jnp.ndarray,
     rows = jnp.arange(B)
 
     if use_probs:
-        scaled = all_dists / np.sqrt(EMB_SIZE) if scale_dists else all_dists
-        vals = jax.nn.softmax(-scaled, axis=1)
+        # NOTE: the reference *reassigns* all_dists here (gen_utils.py:163-165)
+        # so the xent branch below scales a second time — mirrored faithfully.
+        if scale_dists:
+            all_dists = all_dists / np.sqrt(EMB_SIZE)
+        vals = jax.nn.softmax(-all_dists, axis=1)
     else:
         vals = all_dists
 
@@ -48,6 +51,8 @@ def compute_loss(all_dists: jnp.ndarray, labels: jnp.ndarray,
         return coeff * jnp.mean(target_val - nearest_val)
     if loss_type == "xent":
         assert use_probs, "xent loss should be used together with probs"
+        # all_dists is already scaled once above; the reference scales again
+        # (effective 1/EMB_SIZE) — gen_utils.py:203-208.
         scores = -(all_dists / np.sqrt(EMB_SIZE) if scale_dists else all_dists)
         logp = jax.nn.log_softmax(scores, axis=1)
         xent = -logp[rows, labels]

@@ -1,0 +1,169 @@
+"""Tests for the attack layer: loss parity with the reference, and PGD /
+FAB-t / APGD on a toy differentiable classifier."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from certifyingfacerecognition_tpu.attacks import losses as L
+from certifyingfacerecognition_tpu.attacks.apgd import (apgd_attack,
+                                                        apgd_targeted_attack)
+from certifyingfacerecognition_tpu.attacks.fab import fab_targeted
+from certifyingfacerecognition_tpu.attacks.pgd import (assert_deltas_feasible,
+                                                       find_adversaries_pgd)
+from certifyingfacerecognition_tpu.ops import geometry as G
+from certifyingfacerecognition_tpu.ops.distances import cdist
+
+REF = "/root/reference"
+rng = np.random.default_rng(123)
+
+BUDGETS = np.array([0.5, 0.5, 0.2, 0.5, 0.8])
+
+
+def _toy_region(dirs_first_col=None):
+    """Synthetic RegionMatrices: 5 orthonormal dirs in R^512."""
+    d = rng.standard_normal((512, 5))
+    if dirs_first_col is not None:
+        d[:, 0] = dirs_first_col
+    q, _ = np.linalg.qr(d)
+    dirs = q[:, :5].astype(np.float32)
+    if dirs_first_col is not None and np.dot(dirs[:, 0], dirs_first_col) < 0:
+        dirs[:, 0] *= -1
+    proj_mat = dirs @ dirs.T
+    red = (1.0 / BUDGETS**2).astype(np.float32)
+    return G.RegionMatrices(
+        proj_mat=jnp.asarray(proj_mat),
+        ellipse=G.Ellipsoid.from_diag(np.ones(512, np.float32)),
+        dirs=jnp.asarray(dirs),
+        dirs_inv=jnp.asarray(np.linalg.pinv(dirs)),
+        red_ellipse=G.Ellipsoid.from_diag(red),
+        red_ellipse_diag=jnp.asarray(red),
+        red_ellipse_diag_inv=jnp.asarray(1.0 / red),
+    )
+
+
+def _toy_problem():
+    """Identities near a decision boundary so the budget suffices to flip."""
+    centers = rng.standard_normal((12, 512)).astype(np.float32)
+    a, b = centers[0], centers[1]
+    boundary_dir = (b - a) / np.linalg.norm(b - a)
+    region = _toy_region(dirs_first_col=boundary_dir)
+    # Points slightly on the a-side of the a/b midpoint.
+    lats = np.stack([(a + b) / 2 - 0.05 * boundary_dir * (i + 1)
+                     for i in range(4)]).astype(np.float32)
+    gallery = jnp.asarray(centers)
+
+    def dists_fn(w):
+        return cdist(w, gallery, "insightface")
+
+    labels = jnp.argmin(dists_fn(jnp.asarray(lats)), axis=1)
+    np.testing.assert_array_equal(np.asarray(labels), 0)
+    return dists_fn, jnp.asarray(lats), labels, region
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_compute_loss_parity_with_reference():
+    import torch
+
+    # gen_utils imports torchvision (not installed); stub the two symbols.
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+    tr.Compose = lambda fns: fns
+    tr.Normalize = lambda *a, **k: None
+    tv.transforms = tr
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tr)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    cwd = os.getcwd()
+    try:
+        os.chdir(REF)
+        from attack_utils import gen_utils as ref
+    finally:
+        os.chdir(cwd)
+
+    dists = rng.uniform(5, 40, (6, 30)).astype(np.float32)
+    labels = np.array([0, 3, 7, 7, 1, 29])
+    for loss_type in ["away", "nearest", "diff", "xent", "dlr"]:
+        use_probs = loss_type != "dlr"
+        want = ref.compute_loss(torch.from_numpy(dists),
+                                torch.from_numpy(labels),
+                                loss_type=loss_type,
+                                use_probs=use_probs).item()
+        got = float(L.compute_loss(jnp.asarray(dists), jnp.asarray(labels),
+                                   loss_type=loss_type, use_probs=use_probs))
+        assert abs(got - want) < 5e-5 * max(1.0, abs(want)), loss_type
+
+
+def test_pgd_finds_adversaries_on_toy_problem():
+    dists_fn, lats, labels, region = _toy_problem()
+    res = find_adversaries_pgd(dists_fn, lats, labels,
+                               jax.random.PRNGKey(0), region,
+                               opt_name="SGD", lr=100.0, iters=10,
+                               loss_type="xent", restarts=3)
+    assert bool(res.found.all()), "toy adversaries should all be found"
+    # success flags must be re-verifiable from the recorded deltas
+    pert = np.asarray(res.best_deltas) @ np.asarray(region.dirs).T
+    preds = np.argmin(np.asarray(dists_fn(lats + pert)), axis=1)
+    np.testing.assert_array_equal(preds != np.asarray(labels),
+                                  np.asarray(res.found))
+    assert_deltas_feasible(res.best_deltas, region)
+    assert np.all(np.asarray(res.magnitudes) <= 1.0 + 1e-3)
+
+
+def test_pgd_optimizers_run():
+    dists_fn, lats, labels, region = _toy_problem()
+    for opt in ["Adam", "RMSProp"]:
+        res = find_adversaries_pgd(dists_fn, lats, labels,
+                                   jax.random.PRNGKey(1), region,
+                                   opt_name=opt, lr=0.05, iters=5,
+                                   loss_type="away", restarts=1)
+        assert np.all(np.isfinite(np.asarray(res.best_deltas)))
+        assert_deltas_feasible(res.best_deltas, region)
+
+
+def test_fab_targeted_finds_min_norm_adversaries():
+    dists_fn, lats, labels, region = _toy_problem()
+    hi = jax.lax.Precision.HIGHEST
+
+    def logits_fn(deltas):
+        pert = jnp.dot(deltas, region.dirs.T, precision=hi)
+        return -dists_fn(lats + pert)
+
+    res = fab_targeted(logits_fn, labels, jax.random.PRNGKey(2), region,
+                       n_iter=10, n_restarts=2, n_target_classes=2)
+    assert bool(res.success.any())
+    # every reported success must actually fool the classifier
+    preds = np.argmax(np.asarray(logits_fn(res.deltas)), axis=1)
+    succ = np.asarray(res.success)
+    assert np.all(preds[succ] != np.asarray(labels)[succ])
+    # min-norm attack near a boundary: magnitudes should be modest
+    assert np.all(np.asarray(res.magnitudes)[succ] < 25.0)
+
+
+def test_apgd_attacks_run_and_verify():
+    dists_fn, lats, labels, region = _toy_problem()
+    hi = jax.lax.Precision.HIGHEST
+
+    def logits_fn(deltas):
+        pert = jnp.dot(deltas, region.dirs.T, precision=hi)
+        return -dists_fn(lats + pert)
+
+    res = apgd_attack(logits_fn, labels, jax.random.PRNGKey(3), region,
+                      loss="ce", n_iter=20, n_restarts=1)
+    preds = np.argmax(np.asarray(logits_fn(res.deltas)), axis=1)
+    succ = np.asarray(res.success)
+    assert succ.any()
+    assert np.all(preds[succ] != np.asarray(labels)[succ])
+    # bounded attack: deltas stay within the ellipsoid budget
+    assert np.all(np.asarray(res.magnitudes)[succ] <= 1.0 + 1e-3)
+
+    res_t = apgd_targeted_attack(logits_fn, labels, jax.random.PRNGKey(4),
+                                 region, n_iter=15, n_restarts=1,
+                                 n_target_classes=2)
+    assert np.asarray(res_t.success).any()
