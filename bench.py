@@ -1,0 +1,93 @@
+"""Headline benchmark: fused MC-smoothing throughput (samples/sec/chip).
+
+The reference's certification loop achieves ~33 MC samples/sec on an RTX
+3090 (README.md:253-269: N=10k + N0=100 forwards in ~300 s), bottlenecked by
+generator micro-batches of 4 and per-batch host round-trips
+(models/model_settings.py:72, smoothing_model.py:63-72). Here the whole
+sample->perturb->synthesize(1024^2)->embed(ArcFace r50)->argmin->count chain
+is one resident XLA program scanned over batches; this script measures its
+single-chip throughput and prints one JSON line.
+
+Weights are random (throughput is weight-independent); compute is bf16 with
+fp32 distance refinement — the deployment configuration whose abstain /
+certify decisions are validated against fp32 in tests/test_smoothing.py.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_SAMPLES_PER_SEC = 33.0
+
+
+def main():
+    from certifyingfacerecognition_tpu.models import iresnet, stylegan
+    from certifyingfacerecognition_tpu.models.pipeline import make_lat2embs
+    from certifyingfacerecognition_tpu.ops import distances as D
+    from certifyingfacerecognition_tpu.smoothing.certificate import (
+        L2Certificate)
+    from certifyingfacerecognition_tpu.smoothing.smooth import make_counts_fn
+
+    resolution = int(os.environ.get("BENCH_RESOLUTION", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    n_batches = int(os.environ.get("BENCH_NBATCHES", "4"))
+    n_gallery = int(os.environ.get("BENCH_GALLERY", "1000"))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" \
+        else jnp.float32
+
+    gen_params = stylegan.random_params(resolution, seed=0)
+    frm_params = iresnet.convert_torch_state_dict(
+        iresnet.random_torch_style_state_dict("iresnet50", seed=0))
+    rng = np.random.default_rng(0)
+    gallery = jnp.asarray(rng.standard_normal((n_gallery, 512)), jnp.float32)
+    dirs = jnp.asarray(np.linalg.qr(
+        rng.standard_normal((512, 5)))[0][:, :5].T, jnp.float32)  # [5, 512]
+
+    embed = make_lat2embs("insightface", resolution, dtype=dtype)
+
+    def predict_fn(params, z, p):
+        gp, fp = params
+        w = z[None, :] + jnp.dot(p, dirs)
+        embs = embed(gp, fp, w).astype(jnp.float32)
+        return D.argmin_dist_refined(embs, gallery, "insightface")
+
+    counts = make_counts_fn(predict_fn, n_gallery, L2Certificate(),
+                            batch_size=batch, noise_dim=5, with_params=True)
+    params = jax.device_put((gen_params, frm_params))
+
+    def counts_fn(*a):
+        return counts(params, *a)
+
+    z = jnp.asarray(rng.standard_normal(512), jnp.float32)
+    x = jnp.zeros((5,), jnp.float32)
+    sigma = jnp.asarray(0.1, jnp.float32)
+    valid = jnp.full((n_batches,), batch, jnp.int32)
+
+    def run(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_batches)
+        return counts_fn(z, x, sigma, keys, valid)
+
+    run(0).block_until_ready()                    # compile + warm up
+    t0 = time.perf_counter()
+    reps = 3
+    for r in range(1, reps + 1):
+        c = run(r)
+    c.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    samples = reps * n_batches * batch
+    sps = samples / dt
+    print(json.dumps({
+        "metric": "mc_smoothing_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

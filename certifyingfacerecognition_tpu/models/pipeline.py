@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -120,15 +120,25 @@ class FacePipeline:
         return D.argmin_dist_refined(embs, self.gallery, self.frs_method)
 
     def predict_fn(self) -> Callable:
-        """A pure (z, p) -> preds closure for Smooth/make_counts_fn."""
-        gen_params, frm_params = self.gen_params, self.frm_params
-        dirs, gallery = self.dirs, self.gallery
+        """A pure (z, p) -> preds closure for Smooth/make_counts_fn.
+
+        NOTE: closure-captured weights are baked into the compiled program
+        as constants; prefer ``predict_fn_with_params`` for real model
+        sizes (see make_counts_fn's with_params contract)."""
+        fn, params = self.predict_fn_with_params()
+        return partial(fn, params)
+
+    def predict_fn_with_params(self) -> Tuple[Callable, Dict]:
+        """(fn, params) with fn(params, z, p) -> preds; weights/gallery/dirs
+        travel as runtime arguments, keeping the compiled HLO small."""
         embed_fn, method = self.embed_fn, self.frs_method
+        params = {"gen": self.gen_params, "frm": self.frm_params,
+                  "dirs": self.dirs, "gallery": self.gallery}
 
-        def fn(z, p):
-            w = z[None, :] + jnp.dot(p, dirs,
+        def fn(params, z, p):
+            w = z[None, :] + jnp.dot(p, params["dirs"],
                                      precision=jax.lax.Precision.HIGHEST)
-            embs = embed_fn(gen_params, frm_params, w)
-            return D.argmin_dist_refined(embs, gallery, method)
+            embs = embed_fn(params["gen"], params["frm"], w)
+            return D.argmin_dist_refined(embs, params["gallery"], method)
 
-        return fn
+        return fn, params

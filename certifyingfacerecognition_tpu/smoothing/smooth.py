@@ -39,7 +39,8 @@ ABSTAIN = -1
 def make_counts_fn(predict_fn: Callable, num_classes: int,
                    certificate: Certificate, batch_size: int,
                    noise_dim: int, mesh: Optional[Mesh] = None,
-                   mc_axis: str = "mc") -> Callable:
+                   mc_axis: str = "mc", with_params: bool = False
+                   ) -> Callable:
     """Build the fused, scanned (and optionally sharded) counting program.
 
     predict_fn(z [512], p [B, k]) -> int32 predictions [B]. The returned
@@ -47,11 +48,18 @@ def make_counts_fn(predict_fn: Callable, num_classes: int,
     per-class counts [num_classes] (float32), counting only the first
     ``valid[i]`` samples of batch i so the total matches the requested N
     exactly (mirrors the min(batch_size, num) loop at smooth.py:126-137).
+
+    With ``with_params=True``, predict_fn takes (params, z, p) and the
+    returned function takes a leading ``params`` pytree. Model weights MUST
+    travel this way rather than via closure capture: closed-over arrays are
+    baked into the compiled program as constants, which bloats the HLO by
+    the full weight footprint (and overflows remote-compile transports).
     """
 
-    def batch_counts(z, x, sigma, key, n_valid):
+    def batch_counts(params, z, x, sigma, key, n_valid):
         noise = certificate.sample_noise(key, (batch_size, noise_dim), sigma)
-        preds = predict_fn(z, x[None, :] + noise)
+        p = x[None, :] + noise
+        preds = predict_fn(params, z, p) if with_params else predict_fn(z, p)
         weights = (jnp.arange(batch_size) < n_valid).astype(jnp.float32)
         return jnp.zeros((num_classes,), jnp.float32).at[preds].add(weights)
 
@@ -62,16 +70,18 @@ def make_counts_fn(predict_fn: Callable, num_classes: int,
             f"({n_dev} devices)")
         local_bs = batch_size // n_dev
 
-        def sharded_batch_counts(z, x, sigma, key, n_valid):
+        def sharded_batch_counts(params, z, x, sigma, key, n_valid):
             @partial(shard_map, mesh=mesh,
-                     in_specs=(P(), P(), P(), P(), P()),
+                     in_specs=(P(), P(), P(), P(), P(), P()),
                      out_specs=P(), check_vma=False)
-            def inner(z, x, sigma, key, n_valid):
+            def inner(params, z, x, sigma, key, n_valid):
                 idx = jax.lax.axis_index(mc_axis)
                 key = jax.random.fold_in(key, idx)
                 noise = certificate.sample_noise(
                     key, (local_bs, noise_dim), sigma)
-                preds = predict_fn(z, x[None, :] + noise)
+                p = x[None, :] + noise
+                preds = (predict_fn(params, z, p) if with_params
+                         else predict_fn(z, p))
                 offs = idx * local_bs
                 weights = ((jnp.arange(local_bs) + offs) < n_valid
                            ).astype(jnp.float32)
@@ -79,23 +89,25 @@ def make_counts_fn(predict_fn: Callable, num_classes: int,
                                   ).at[preds].add(weights)
                 return jax.lax.psum(local, mc_axis)
 
-            return inner(z, x, sigma, key, n_valid)
+            return inner(params, z, x, sigma, key, n_valid)
 
         batch_fn = sharded_batch_counts
     else:
         batch_fn = batch_counts
 
     @jax.jit
-    def counts_fn(z, x, sigma, keys, valid):
+    def counts_fn(params, z, x, sigma, keys, valid):
         def body(counts, inp):
             key, n_valid = inp
-            return counts + batch_fn(z, x, sigma, key, n_valid), None
+            return counts + batch_fn(params, z, x, sigma, key, n_valid), None
 
         init = jnp.zeros((num_classes,), jnp.float32)
         counts, _ = jax.lax.scan(body, init, (keys, valid))
         return counts
 
-    return counts_fn
+    if with_params:
+        return counts_fn
+    return partial(counts_fn, None)
 
 
 class Smooth:
@@ -114,15 +126,24 @@ class Smooth:
 
     def __init__(self, predict_fn: Callable, num_classes: int, sigma,
                  certificate: Certificate, noise_dim: int,
-                 batch_size: int = 100, mesh: Optional[Mesh] = None):
+                 batch_size: int = 100, mesh: Optional[Mesh] = None,
+                 params=None):
+        """If ``params`` is given, predict_fn must take (params, z, p); the
+        weights are then passed as runtime arguments instead of being baked
+        into the compiled program as constants (see make_counts_fn)."""
         self.num_classes = num_classes
         self.sigma = jnp.asarray(sigma, jnp.float32)
         self.certificate = certificate
         self.batch_size = batch_size
         self.noise_dim = noise_dim
-        self._counts_fn = make_counts_fn(
+        self.params = params
+        counts_fn = make_counts_fn(
             predict_fn, num_classes, certificate, batch_size, noise_dim,
-            mesh=mesh)
+            mesh=mesh, with_params=params is not None)
+        if params is not None:
+            self._counts_fn = lambda *a: counts_fn(self.params, *a)
+        else:
+            self._counts_fn = counts_fn
 
     def _sample_noise(self, z, x, num: int, key: jax.Array) -> np.ndarray:
         """Per-class counts from ``num`` noisy forwards (smooth.py:109-138)."""
