@@ -1,0 +1,164 @@
+"""Certification CLI: randomized-smoothing certification of identities.
+
+Surface mirror of /root/reference/certify.py (flags, TSV schema
+``idx label predict correct gap radius time``, isotropic vs anisotropic
+sigma, --skip/--max striding for job-array parallelism) with the MC loop
+running as the fused, optionally mesh-sharded counting program
+(smoothing/smooth.py here).
+
+Reference semantics preserved:
+  * anisotropic sigma = args.sigma * red_ellipse_diag^{-1} (certify.py:85-95);
+  * radius = sigma.min() * gap (certify.py:141);
+  * striding: certify every --skip-th identity, stop at --max
+    (certify.py:120-125, note the reference's (i+1) arithmetic);
+  * one TSV row appended per identity, so a killed job loses at most one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import os.path as osp
+from time import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import EMB_SIZE, FRS_METHODS
+from ..models.pipeline import FacePipeline
+from ..ops import geometry as G
+from ..parallel.mesh import MC_AXIS, get_mesh
+from ..smoothing.certificate import L2Certificate
+from ..smoothing.smooth import Smooth
+from ..utils import weights as W
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Certify face recognition examples (TPU-native)")
+    parser.add_argument("--face-recog-model", required=True,
+                        choices=FRS_METHODS, type=str,
+                        help="type of model to load for face recognition")
+    parser.add_argument("--outfile", required=True, type=str,
+                        help="output csv file")
+    parser.add_argument("--sigma", type=float, required=True,
+                        help="noise hyperparameter")
+    parser.add_argument("--anisotropic-sigma", action="store_true",
+                        default=False,
+                        help="Whether to use Anisotropic Sigma")
+    # dataset options (certify.py:38-46)
+    parser.add_argument("--skip", type=int, default=1,
+                        help="skip examples in the dataset")
+    parser.add_argument("--max", type=int, default=-1,
+                        help="stop after a certain number of examples")
+    # certification parameters (certify.py:48-62)
+    parser.add_argument("--batch-sz", type=int, default=100,
+                        help="certification batch size")
+    parser.add_argument("--N0", type=int, default=100)
+    parser.add_argument("--N", type=int, default=100000,
+                        help="number of samples to use")
+    parser.add_argument("--alpha", type=float, default=0.001,
+                        help="failure probability")
+    parser.add_argument("--load-n-embs", type=int, default=1_000_000,
+                        help="num of embs. Default is all of them (1M)")
+    # ---- TPU-framework additions ----
+    parser.add_argument("--gen-weights", type=str, default="random")
+    parser.add_argument("--frm-weights", type=str, default="random")
+    parser.add_argument("--data-dir", type=str,
+                        default=os.environ.get("CFR_DATA_DIR",
+                                               "data/stylegan_ffhq_1M"))
+    parser.add_argument("--embs-file", type=str, default=None,
+                        help="Gallery embeddings (.npz with 'embs', or .pth)")
+    parser.add_argument("--boundaries-dir", type=str, default=None)
+    parser.add_argument("--resolution", type=int, default=1024)
+    parser.add_argument("--dtype", type=str, default="fp32",
+                        choices=["fp32", "bf16"])
+    parser.add_argument("--mesh", action="store_true", default=False,
+                        help="Shard the MC batch over all local devices")
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def load_gallery(args) -> np.ndarray:
+    path = args.embs_file or osp.join(
+        args.data_dir, f"embs_{args.face_recog_model}.npz")
+    if not osp.isfile(path) and osp.isfile(path[:-4] + ".pth"):
+        path = path[:-4] + ".pth"
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            embs = z["embs"]
+    else:
+        import torch
+
+        embs = torch.load(path, map_location="cpu").numpy()
+    return np.asarray(embs[: args.load_n_embs], np.float32)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    region = G.get_all_matrices(boundaries_dir=args.boundaries_dir)
+    dirs = region.dirs.T                       # [k, 512] rows (certify.py:71)
+    num_dirs = dirs.shape[0]
+
+    dataset = np.load(osp.join(args.data_dir, "w.npy")).astype(np.float32)
+    dataset = dataset[: args.load_n_embs]
+    gallery = load_gallery(args)
+    assert len(gallery) == len(dataset), \
+        f"{len(gallery)} embeddings vs {len(dataset)} latents"
+    num_classes = dataset.shape[0]
+    print(f"Found {num_classes} classes")
+    print(f"Found {num_dirs} directions")
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    gen_params = W.load_generator_params(args.gen_weights,
+                                         resolution=args.resolution)
+    frm_params = W.load_frm_params(args.frm_weights, args.face_recog_model)
+    pipeline = FacePipeline(gen_params, frm_params, dirs=jnp.asarray(dirs),
+                            frs_method=args.face_recog_model,
+                            resolution=args.resolution, dtype=dtype,
+                            gallery=jnp.asarray(gallery))
+
+    # Sigma: scalar (isotropic) or per-attribute diagonal (certify.py:85-95).
+    if args.anisotropic_sigma:
+        sigma = args.sigma * np.asarray(region.red_ellipse_diag_inv)
+    else:
+        sigma = np.full((num_dirs,), args.sigma, np.float32)
+
+    certificate = L2Certificate()
+    predict_fn, params = pipeline.predict_fn_with_params()
+    mesh = get_mesh(MC_AXIS) if args.mesh else None
+    smoothed = Smooth(predict_fn, num_classes, sigma, certificate,
+                      noise_dim=num_dirs, batch_size=args.batch_sz,
+                      mesh=mesh, params=params)
+
+    parent = osp.dirname(osp.abspath(args.outfile))
+    os.makedirs(parent, exist_ok=True)
+    with open(args.outfile, "w+") as f:
+        print("idx\tlabel\tpredict\tcorrect\tgap\tradius\ttime", file=f,
+              flush=True)
+
+    x = np.zeros((num_dirs,), np.float32)
+    key = jax.random.PRNGKey(args.seed)
+    for i in range(num_classes):
+        # Reference striding arithmetic (certify.py:121-125).
+        if (i + 1) % args.skip != 0:
+            continue
+        if (i + 1) == args.max:
+            break
+        z = dataset[i]
+        before = time()
+        prediction, gap = smoothed.certify(
+            z, x, i, args.N0, args.N, args.alpha, jax.random.fold_in(key, i))
+        elapsed = str(datetime.timedelta(seconds=time() - before))
+        correct = int(prediction == i)
+        radius = float(np.min(sigma)) * gap
+        with open(args.outfile, "a") as f:
+            print(f"{i}\t{i}\t{prediction}\t{correct}\t{gap:.3}\t"
+                  f"{radius:.3}\t{elapsed}", file=f, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Attack CLI: embedding precompute + per-chunk attacks + aggregation.
+
+Drop-in surface for /root/reference/main_attack.py: the same flags
+(cli/opts.py), the same artifact layout (exp_results/<out>/{results,logs,
+figs}), the same three modes:
+
+  * default              — attack the chunk given by --num-chunk;
+  * --eval-files         — aggregate results_chunk*of* artifacts;
+  * embeddings are computed once and cached (main_attack.py:134-191,
+    200-216); accepted formats: .npz (native) and the reference's
+    embs_*.pth torch pickles.
+
+TPU-native differences: one fused jitted program per attack batch, real
+batch sizes instead of the generator micro-batch of 4, weights as runtime
+args, jax.random key discipline instead of global torch seeds.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from time import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import EMB_SIZE
+from ..eval.chunk_runner import eval_chunk, eval_files, make_dists_fn
+from ..models.pipeline import FacePipeline
+from ..ops import geometry as G
+from ..utils import weights as W
+from . import opts
+
+
+def get_latent_codes(data_dir: str, n: int = None) -> np.ndarray:
+    """Load the w.npy latent array (gen_utils.py:44-46)."""
+    lats = np.load(osp.join(data_dir, "w.npy")).astype(np.float32)
+    return lats[:n] if n else lats
+
+
+def get_embs(args, pipeline: FacePipeline, lat_codes: np.ndarray
+             ) -> np.ndarray:
+    """Load cached gallery embeddings or compute+cache them
+    (main_attack.py:134-216)."""
+    log = args.LOGGER
+    embs_file = args.embs_file or osp.join(
+        args.data_dir, f"embs_{args.face_recog_method}.npz")
+    if args.load_embs:
+        path = embs_file
+        if not osp.isfile(path) and osp.isfile(path[:-4] + ".pth"):
+            path = path[:-4] + ".pth"
+        log.info(f"Loading embeddings from {path}")
+        if path.endswith(".npz"):
+            with np.load(path) as z:
+                embs = z["embs"]
+        elif path.endswith(".pth"):
+            import torch
+
+            embs = torch.load(path, map_location="cpu").numpy()
+        else:
+            embs = np.load(path)
+        embs = embs[: args.load_n_embs]
+    else:
+        log.info(f"Computing embeddings for {len(lat_codes)} identities")
+        t0 = time()
+        embs = np.asarray(
+            pipeline.lat2embs(jnp.asarray(lat_codes),
+                              chunk=max(args.batch_size, 32)))
+        log.info(f"Embeddings done in {time() - t0:3.1f}s; "
+                 f"caching to {embs_file}")
+        np.savez(embs_file, embs=embs)
+    assert embs.ndim == 2 and embs.shape[1] == EMB_SIZE, embs.shape
+    assert len(embs) == len(lat_codes), \
+        f"{len(embs)} embeddings vs {len(lat_codes)} latents"
+    return embs
+
+
+def main(argv=None) -> None:
+    args = opts.parse_args(argv)
+    log = args.LOGGER
+    t0 = time()
+
+    region = G.get_all_matrices(args.attrs2drop,
+                                scale_factor=args.scale_factor,
+                                boundaries_dir=args.boundaries_dir)
+
+    if args.eval_files:
+        eval_files(args)
+        log.info(f"Total time: {time() - t0:3.1f}s")
+        return
+
+    lat_codes = get_latent_codes(args.data_dir, args.load_n_embs)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    gen_params = W.load_generator_params(args.gen_weights,
+                                         resolution=args.resolution)
+    frm_params = W.load_frm_params(args.frm_weights, args.face_recog_method)
+    pipeline = FacePipeline(gen_params, frm_params, dirs=region.dirs.T,
+                            frs_method=args.face_recog_method,
+                            resolution=args.resolution, dtype=dtype)
+    embs = get_embs(args, pipeline, lat_codes)
+    pipeline.gallery = jnp.asarray(embs)
+
+    params = {"gen": gen_params, "frm": frm_params,
+              "gallery": pipeline.gallery}
+    num_chunk = args.num_chunk if args.num_chunk is not None else 0
+    dists_fn = make_dists_fn(args.face_recog_method, args.resolution, dtype)
+    log_file = eval_chunk(params, lat_codes, num_chunk, args, region=region,
+                          dists_fn=dists_fn)
+    log.info(f"Chunk log at {log_file}")
+    log.info(f"Total time: {time() - t0:3.1f}s")
+
+
+if __name__ == "__main__":
+    main()

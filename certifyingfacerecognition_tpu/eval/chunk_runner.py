@@ -1,0 +1,270 @@
+"""Attack workload driver: per-chunk attack loop + offline aggregation.
+
+TPU-native re-design of ``eval_chunk``/``eval_files``
+(/root/reference/attack_utils/gen_utils.py:634-752,440-604):
+
+  * the reference iterates generator micro-batches of 4 with host-side
+    optimisation steps; here the whole attack for a batch of identities is
+    one jitted program (restarts x iters inside lax.scan) with model weights
+    threaded as runtime args (never baked into the HLO);
+  * per-batch derived seeds follow the reference's discipline
+    (seed + num_chunk * chunk_length + idx, gen_utils.py:656) via
+    jax.random.fold_in, so chunks are reproducible and independent;
+  * successful adversaries are re-verified from scratch — the deltas are
+    re-applied, re-synthesised and re-classified; mismatches are demoted
+    with a warning (check_advs semantics, gen_utils.py:396-410);
+  * artifacts (results_chunk{K}of{N} logs/npz, 3-panel adversary figures)
+    keep the reference's formats so its offline tooling still works.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from functools import partial
+from time import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attacks.autoattack import find_adversaries_autoattack
+from ..attacks.pgd import find_adversaries_pgd
+from ..constants import ATTRS
+from ..models.pipeline import make_lat2embs
+from ..ops import distances as D
+from ..ops import geometry as G
+from . import artifacts, ranking
+
+
+def make_dists_fn(frs_method: str, resolution: int, dtype=jnp.float32
+                  ) -> Callable:
+    """dists(params, w [B,512]) -> [B, N] differentiable gallery distances.
+    params = {gen, frm, gallery}; weights travel as runtime arguments."""
+    embed = make_lat2embs(frs_method, resolution, dtype=dtype)
+
+    def dists(params, w):
+        embs = embed(params["gen"], params["frm"], w).astype(jnp.float32)
+        return D.cdist(embs, params["gallery"], frs_method)
+
+    return dists
+
+
+def _make_attack_step(dists_fn: Callable, region: G.RegionMatrices, args
+                      ) -> Callable:
+    """One jitted attack program over a batch of identities."""
+
+    if args.attack_type == "manual":
+        def step(params, lats, labels, key):
+            return find_adversaries_pgd(
+                partial(dists_fn, params), lats, labels, key, region,
+                opt_name=args.optim, lr=args.lr, iters=args.iters,
+                momentum=args.momentum, loss_type=args.loss,
+                lin_comb=args.lin_comb, random_init=True,
+                rand_init_on_surf=not args.not_on_surf,
+                restarts=args.restarts)
+    else:
+        def step(params, lats, labels, key):
+            return find_adversaries_autoattack(
+                partial(dists_fn, params), lats, labels, key, region,
+                args.attack_type, iters=args.iters, restarts=args.restarts,
+                n_target_classes=args.n_target_classes)
+
+    return jax.jit(step)
+
+
+def eval_chunk(params: Dict, lat_codes: np.ndarray, num_chunk: int, args,
+               region: Optional[G.RegionMatrices] = None,
+               dists_fn: Optional[Callable] = None) -> str:
+    """Attack one chunk of identities; writes log + data artifacts and
+    returns the log-file path (gen_utils.py:634-752)."""
+    if region is None:
+        region = G.get_all_matrices(args.attrs2drop,
+                                    scale_factor=args.scale_factor,
+                                    boundaries_dir=args.boundaries_dir)
+    if dists_fn is None:
+        dists_fn = make_dists_fn(
+            args.face_recog_method, args.resolution,
+            jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
+
+    start_time = time()
+    log = args.LOGGER
+    log.info(f"Processing chunk {num_chunk} out of {args.chunks}")
+    chunk_length = len(lat_codes) / args.chunks
+    assert chunk_length == int(chunk_length), \
+        "Partition of set should be exact"
+    chunk_length = int(chunk_length)
+    bs = min(args.batch_size, chunk_length)
+    assert chunk_length % bs == 0, \
+        f"Batch size MUST divide chunk length: {chunk_length} vs {bs}"
+
+    start = num_chunk * chunk_length
+    chunk_lats = np.asarray(lat_codes[start:start + chunk_length], np.float32)
+
+    attack_step = _make_attack_step(dists_fn, region, args)
+    base_key = jax.random.PRNGKey(args.seed)
+
+    deltas, successes, magnitudes, all_labels = [], [], [], []
+    tot = 0
+    for idx in range(0, chunk_length, bs):
+        batch = jnp.asarray(chunk_lats[idx:idx + bs])
+        labels = jnp.arange(start + idx, start + idx + batch.shape[0])
+        # Reference seed discipline: seed + chunk*len + batch index
+        # (gen_utils.py:656), realised as a fold_in of the same integer.
+        key = jax.random.fold_in(
+            base_key, num_chunk * chunk_length + idx // bs)
+        res = attack_step(params, batch, labels, key)
+        deltas.append(np.asarray(res[0], np.float32))
+        successes.append(np.asarray(res[1], bool))
+        magnitudes.append(np.asarray(res[2], np.float32))
+        all_labels.append(np.asarray(labels))
+        tot += batch.shape[0]
+        mags = np.concatenate(magnitudes)
+        succ = np.concatenate(successes)
+        avg = float(np.sqrt(mags[succ]).mean()) if succ.any() else 0.0
+        log.info(f"-> {int(succ.sum())} advs for {tot} IDs "
+                 f"-> avg. pert.: {avg:3.4f}")
+
+    deltas = np.concatenate(deltas)
+    successes = np.concatenate(successes)
+    magnitudes = np.concatenate(magnitudes)
+    all_labels = np.concatenate(all_labels)
+    log.info(f"Finished chunk computation. Time={time() - start_time:3.2f}s")
+
+    n_succ = int(successes.sum())
+    avg_pert = 0.0
+    if n_succ == 0:
+        log.info("Didnt find any adversary! =(")
+    else:
+        # Re-verify the adversaries from scratch (gen_utils.py:714-741).
+        succ_idx = np.nonzero(successes)[0]
+        succ_deltas = jnp.asarray(deltas[succ_idx])
+        succ_lats = jnp.asarray(chunk_lats[succ_idx])
+        if args.lin_comb:
+            pert = jnp.dot(succ_deltas, region.dirs.T)
+        else:
+            pert = succ_deltas
+        dists_adv = dists_fn(params, succ_lats + pert)
+        curr_preds = np.asarray(jnp.argmin(dists_adv, axis=1))
+        curr_labels = all_labels[succ_idx]
+        where_adv = curr_preds != curr_labels
+        if not where_adv.all():
+            log.info(f"Some ({int((~where_adv).sum())}) supposed "
+                     "adversaries were NOT adversaries")
+        successes[succ_idx] = where_adv
+        n_succ = int(successes.sum())
+        if n_succ == 0:
+            log.info("Didnt find any adversary! =(")
+        else:
+            avg_pert = float(np.sqrt(magnitudes[successes]).mean())
+            log.info(f"-> Found {n_succ} advs for {tot} IDs "
+                     f"-> avg. pert.: {avg_pert:3.4f}")
+            _plot_advs(params, chunk_lats, deltas, successes, all_labels,
+                       curr_preds[where_adv], lat_codes, region, args)
+
+    results = {
+        "successes": n_succ,
+        "instances": len(all_labels),
+        "avg_mags": avg_pert if n_succ != 0 else 0,
+    }
+    log_file, _ = artifacts.save_chunk_results(
+        results, deltas, successes, magnitudes, num_chunk, args.chunks,
+        args.results_dir, args.logs_dir)
+    return log_file
+
+
+def _plot_advs(params, chunk_lats, deltas, successes, all_labels, adv_preds,
+               lat_codes, region, args, max_figs: int = 16) -> None:
+    """3-panel original | adversary | confused-with figures
+    (gen_utils.py:755-774), written with PIL instead of matplotlib."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    from ..models import stylegan
+
+    succ_idx = np.nonzero(successes)[0][:max_figs]
+    if succ_idx.size == 0:
+        return
+    adv_preds = adv_preds[:max_figs]
+    lats = jnp.asarray(chunk_lats[succ_idx])
+    d = jnp.asarray(deltas[succ_idx])
+    pert = jnp.dot(d, region.dirs.T) if args.lin_comb else d
+    conf_lats = jnp.asarray(np.asarray(lat_codes)[adv_preds], jnp.float32)
+
+    synth = jax.jit(lambda gp, w: stylegan.synthesize_from_w(
+        gp, w, resolution=args.resolution))
+    ims = np.asarray(synth(params["gen"], lats))
+    adv_ims = np.asarray(synth(params["gen"], lats + pert))
+    conf_ims = np.asarray(synth(params["gen"], conf_lats))
+
+    for j, i in enumerate(succ_idx):
+        panel = np.concatenate([ims[j], adv_ims[j], conf_ims[j]], axis=1)
+        panel = (np.clip(panel, 0, 1) * 255).astype(np.uint8)
+        label, pred = int(all_labels[i]), int(adv_preds[j])
+        Image.fromarray(panel).save(
+            osp.join(args.figs_dir, f"ori_{label}_adv_{pred}.jpg"))
+
+
+def eval_files(args, epsilons: Optional[np.ndarray] = None) -> None:
+    """Aggregate chunk artifacts into results.txt + attribute ranking +
+    acc-vs-budget curve (gen_utils.py:440-604)."""
+    log_files, data_files = artifacts.find_chunk_files(args.results_dir,
+                                                       args.logs_dir)
+    assert log_files, f"no chunk logs found under {args.logs_dir}"
+    agg = ranking.aggregate_results(
+        [artifacts.parse_chunk_log(f) for f in log_files])
+    args.LOGGER.info(
+        f"Total. Successes: {agg['successes']} -- "
+        f"Instances: {agg['instances']} -- Rate: {agg['rate']:.2f}% -- "
+        f"Avg.Mag.: {agg['avg_mag']:.4f}")
+    lines = [f"rate:{agg['rate']}", f"avg_mag:{agg['avg_mag']}"]
+
+    if data_files:
+        all_deltas = np.concatenate(
+            [artifacts.load_chunk_data(f)["deltas"] for f in data_files])
+        all_mags = np.concatenate(
+            [artifacts.load_chunk_data(f)["magnitudes"] for f in data_files])
+        attr_names = [a for a in ATTRS if a not in set(args.attrs2drop)]
+        if epsilons is None:
+            epsilons = np.array([ATTRS[a] for a in attr_names]) \
+                * args.scale_factor
+        _, norm_comps = ranking.delta_components(all_deltas, all_mags,
+                                                 epsilons)
+        failed, order, pvals = ranking.get_ranking(norm_comps, attr_names)
+        if failed:
+            args.LOGGER.info("Attribute ranking failed (Friedman test "
+                             "not significant)")
+            lines.append("importance-order:failed")
+        else:
+            args.LOGGER.info(f"Importance ranking: {order} (pvals {pvals})")
+            lines.append("importance-order:" + ",".join(order))
+            lines.append("order-pvals:" +
+                         ",".join(f"{p:.3e}" for p in pvals))
+        _plot_acc_vs_budget(all_mags, agg["instances"], args)
+
+    from ..utils.logger import print_to_log
+
+    for line in lines:
+        print_to_log(line, args.final_results)
+
+
+def _plot_acc_vs_budget(magnitudes: np.ndarray, tot_instances: int, args
+                        ) -> None:
+    lins, err = ranking.accuracy_vs_budget(magnitudes, tot_instances)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        np.savez(osp.join(args.figs_dir, "acc_vs_pert.npz"),
+                 budget=lins, accuracy=1.0 - err)
+        return
+    fig, ax = plt.subplots()
+    ax.plot(lins, 100.0 * (1.0 - err))
+    ax.set_xlabel(r"Perturbation budget ($\Sigma$-norm)")
+    ax.set_ylabel("Accuracy [%]")
+    ax.grid(True, alpha=0.3)
+    fig.savefig(osp.join(args.figs_dir, "acc_vs_pert.png"),
+                bbox_inches="tight", dpi=120)
+    plt.close(fig)

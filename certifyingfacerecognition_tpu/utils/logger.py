@@ -17,9 +17,12 @@ def setup_logger(work_dir: str | None = None, logfile_name: str = "log.txt",
                  logger_name: str = "logger",
                  allow_existing: bool = False) -> logging.Logger:
     logger = logging.getLogger(logger_name)
-    if logger.hasHandlers() and not allow_existing:
+    # Check the logger's OWN handlers, not hasHandlers(): that walks up to
+    # the root logger and would trip on unrelated root handlers (pytest's
+    # capture handler, absl, ...).
+    if logger.handlers and not allow_existing:
         raise SystemExit(f"Logger name `{logger_name}` has already been set up!")
-    if logger.hasHandlers():
+    if logger.handlers:
         return logger
 
     logger.setLevel(logging.DEBUG)

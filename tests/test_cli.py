@@ -1,0 +1,90 @@
+"""End-to-end CLI tests: generate -> attack -> aggregate -> certify at tiny
+resolution with random weights (the reference has no CLI tests at all;
+SURVEY.md §4)."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from certifyingfacerecognition_tpu.cli import certify, generate_data, \
+    main_attack
+
+RES = 16
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    cwd = os.getcwd()
+    os.chdir(d)
+    yield str(d)
+    os.chdir(cwd)
+
+
+@pytest.fixture(scope="module")
+def data_dir(workdir):
+    out = osp.join(workdir, "data")
+    generate_data.main(["-m", "stylegan_ffhq", "-o", out, "-n", "4",
+                        "-s", "w", "--resolution", str(RES),
+                        "--batch-size", "4"])
+    return out
+
+
+def test_generate_data_artifacts(data_dir):
+    w = np.load(osp.join(data_dir, "w.npy"))
+    assert w.shape == (4, 512)
+    wp = np.load(osp.join(data_dir, "wp.npy"))
+    assert wp.shape[0] == 4 and wp.shape[2] == 512
+    ims = sorted(os.listdir(osp.join(data_dir, "ims")))
+    assert ims == [f"{i:06d}.png" for i in range(4)]
+    from PIL import Image
+
+    im = np.asarray(Image.open(osp.join(data_dir, "ims", ims[0])))
+    assert im.shape == (RES, RES, 3)
+
+
+def test_generate_data_z_space(workdir):
+    out = osp.join(workdir, "data_z")
+    generate_data.main(["-m", "stylegan_ffhq", "-o", out, "-n", "2",
+                        "-s", "z", "--resolution", str(RES),
+                        "--batch-size", "2"])
+    z = np.load(osp.join(out, "z.npy"))
+    # Z codes are normalised to the sqrt(512) sphere.
+    np.testing.assert_allclose(np.linalg.norm(z, axis=1),
+                               np.sqrt(512.0), rtol=1e-5)
+    assert np.load(osp.join(out, "w.npy")).shape == (2, 512)
+
+
+def test_attack_chunks_and_eval_files(workdir, data_dir):
+    common = ["--data-dir", data_dir, "--chunks", "2", "--batch-size", "2",
+              "--resolution", str(RES), "--iters", "2", "--restarts", "1",
+              "--seed", "1"]
+    main_attack.main(["--output-dir", "atk", "--num-chunk", "0"] + common)
+    # chunk 1 reuses the cached embeddings
+    main_attack.main(["--output-dir", "atk", "--num-chunk", "1",
+                      "--load-embs"] + common)
+    assert osp.isfile(osp.join(data_dir, "embs_insightface.npz"))
+    logs = os.listdir(osp.join("exp_results", "atk", "logs"))
+    assert "results_chunk0of2.txt" in logs and "results_chunk1of2.txt" in logs
+
+    main_attack.main(["--output-dir", "atk", "--eval-files"])
+    results = open(osp.join("exp_results", "atk", "results.txt")).read()
+    assert "rate:" in results and "avg_mag:" in results
+
+
+def test_certify_tsv(workdir, data_dir):
+    out = osp.join(workdir, "cert.tsv")
+    certify.main(["--face-recog-model", "insightface", "--outfile", out,
+                  "--sigma", "0.5", "--data-dir", data_dir,
+                  "--resolution", str(RES), "--N", "40", "--N0", "10",
+                  "--batch-sz", "20", "--max", "3"])
+    rows = open(out).read().strip().split("\n")
+    assert rows[0] == "idx\tlabel\tpredict\tcorrect\tgap\tradius\ttime"
+    # --max 3 stops before identity index 2 ((i+1)==max), so rows for 0, 1.
+    assert len(rows) == 3
+    for row in rows[1:]:
+        cols = row.split("\t")
+        assert len(cols) == 7
+        float(cols[4]), float(cols[5])
