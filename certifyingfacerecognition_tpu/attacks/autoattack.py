@@ -8,10 +8,10 @@ the zero delta, and per-attack robust-flag bookkeeping keeps the first
 successful adversary for each sample.
 
 The upstream Square attack is not adapted to Lsigma2 in the reference
-(SURVEY.md §2.5 — instantiated but unused); requesting it raises.
-Untargeted FAB needs one VJP per gallery class (fab_pt.py:81-102) — the
-reference itself marks it intractable (gen_utils.py:283); it is accepted
-only for small galleries.
+(SURVEY.md §2.5 — instantiated but unused); 'square' here dispatches to the
+ellipsoid-native score-based redesign (attacks/square.py). Untargeted FAB
+needs one VJP per gallery class (fab_pt.py:81-102) — the reference itself
+marks it intractable (gen_utils.py:283); requesting it raises.
 """
 
 from __future__ import annotations
@@ -25,8 +25,9 @@ from ..ops import geometry as G
 from .apgd import apgd_attack, apgd_targeted_attack
 from .fab import fab_targeted
 from .pgd import check_deltas
+from .square import square_attack
 
-SUPPORTED = ("fab-t", "apgd-ce", "apgd-dlr", "apgd-t")
+SUPPORTED = ("fab-t", "apgd-ce", "apgd-dlr", "apgd-t", "square")
 
 
 class AttackResult(NamedTuple):
@@ -66,9 +67,12 @@ def run_attack(
                                  n_target_classes=n_target_classes)
         return AttackResult(r.deltas, r.success, r.magnitudes)
     if attack_type == "square":
-        raise NotImplementedError(
-            "Square attack is not adapted to the Lsigma2 norm (matches the "
-            "reference, where it is instantiated but unusable for this norm)")
+        # The reference's vendored Square is NOT adapted to Lsigma2 and is
+        # unusable for these runs (square.py, SURVEY.md §2.5); this is the
+        # ellipsoid-native score-based redesign.
+        r = square_attack(logits_fn, labels, key, region,
+                          n_iter=max(iters, 1) * 20, n_restarts=restarts)
+        return AttackResult(r.deltas, r.success, r.magnitudes)
     if attack_type == "fab":
         raise NotImplementedError(
             "untargeted FAB requires one VJP per gallery class and is "

@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["fp32", "bf16"])
     parser.add_argument("--mesh", action="store_true", default=False,
                         help="Shard the MC batch over all local devices")
+    parser.add_argument("--mesh-id", type=int, default=1,
+                        help="With --mesh: id-axis size; shards the gallery "
+                             "over this many devices (1M-identity regime)")
+    parser.add_argument("--resume", action="store_true", default=False,
+                        help="Append to an existing outfile, skipping "
+                             "already-certified identities")
     parser.add_argument("--seed", type=int, default=0)
     return parser
 
@@ -128,17 +134,47 @@ def main(argv=None) -> None:
         sigma = np.full((num_dirs,), args.sigma, np.float32)
 
     certificate = L2Certificate()
-    predict_fn, params = pipeline.predict_fn_with_params()
-    mesh = get_mesh(MC_AXIS) if args.mesh else None
+    mesh, param_specs = None, None
+    if args.mesh:
+        if args.mesh_id > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.gallery import make_sharded_gallery_predict_fn
+            from ..parallel.mesh import get_2d_mesh
+
+            n_dev = len(jax.devices())
+            mesh = get_2d_mesh(n_dev // args.mesh_id, args.mesh_id)
+            predict_fn = make_sharded_gallery_predict_fn(
+                pipeline.embed_fn, jnp.asarray(dirs),
+                method=args.face_recog_model)
+            params = {"gen": gen_params, "frm": frm_params,
+                      "gallery": pipeline.gallery}
+            param_specs = {"gen": P(), "frm": P(), "gallery": P("id")}
+        else:
+            mesh = get_mesh(MC_AXIS)
+            predict_fn, params = pipeline.predict_fn_with_params()
+    else:
+        predict_fn, params = pipeline.predict_fn_with_params()
     smoothed = Smooth(predict_fn, num_classes, sigma, certificate,
                       noise_dim=num_dirs, batch_size=args.batch_sz,
-                      mesh=mesh, params=params)
+                      mesh=mesh, params=params, param_specs=param_specs)
 
     parent = osp.dirname(osp.abspath(args.outfile))
     os.makedirs(parent, exist_ok=True)
-    with open(args.outfile, "w+") as f:
-        print("idx\tlabel\tpredict\tcorrect\tgap\tradius\ttime", file=f,
-              flush=True)
+    done = set()
+    if args.resume and osp.isfile(args.outfile):
+        # Artifact-level resume: one TSV row per identity means a killed
+        # job loses at most one (SURVEY.md §5); re-runs skip finished rows.
+        with open(args.outfile) as f:
+            for line in f:
+                cols = line.split("\t")
+                if cols and cols[0].isdigit():
+                    done.add(int(cols[0]))
+        print(f"Resuming: {len(done)} identities already certified")
+    else:
+        with open(args.outfile, "w+") as f:
+            print("idx\tlabel\tpredict\tcorrect\tgap\tradius\ttime", file=f,
+                  flush=True)
 
     x = np.zeros((num_dirs,), np.float32)
     key = jax.random.PRNGKey(args.seed)
@@ -148,6 +184,8 @@ def main(argv=None) -> None:
             continue
         if (i + 1) == args.max:
             break
+        if i in done:
+            continue
         z = dataset[i]
         before = time()
         prediction, gap = smoothed.certify(

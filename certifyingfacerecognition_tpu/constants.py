@@ -33,7 +33,7 @@ EMB_SIZE = 512
 
 LOSS_TYPES = ["away", "nearest", "diff", "xent", "dlr"]
 OPTIMS = ["Adam", "SGD", "RMSProp"]
-ATTACKS = ["fab-t", "fab", "apgd-ce", "apgd-dlr", "apgd-t", "manual"]
+ATTACKS = ["fab-t", "fab", "apgd-ce", "apgd-dlr", "apgd-t", "manual", "square"]
 
 LAT_SPACE = "w"
 DATASET = "ffhq"

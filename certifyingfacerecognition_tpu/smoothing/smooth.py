@@ -39,8 +39,8 @@ ABSTAIN = -1
 def make_counts_fn(predict_fn: Callable, num_classes: int,
                    certificate: Certificate, batch_size: int,
                    noise_dim: int, mesh: Optional[Mesh] = None,
-                   mc_axis: str = "mc", with_params: bool = False
-                   ) -> Callable:
+                   mc_axis: str = "mc", with_params: bool = False,
+                   param_specs=None) -> Callable:
     """Build the fused, scanned (and optionally sharded) counting program.
 
     predict_fn(z [512], p [B, k]) -> int32 predictions [B]. The returned
@@ -70,9 +70,14 @@ def make_counts_fn(predict_fn: Callable, num_classes: int,
             f"({n_dev} devices)")
         local_bs = batch_size // n_dev
 
+        # param_specs lets large params arrive sharded (e.g. the identity
+        # gallery over the 'id' axis — see parallel.gallery); predict_fn is
+        # then responsible for the matching collectives.
+        p_specs = P() if param_specs is None else param_specs
+
         def sharded_batch_counts(params, z, x, sigma, key, n_valid):
             @partial(shard_map, mesh=mesh,
-                     in_specs=(P(), P(), P(), P(), P(), P()),
+                     in_specs=(p_specs, P(), P(), P(), P(), P()),
                      out_specs=P(), check_vma=False)
             def inner(params, z, x, sigma, key, n_valid):
                 idx = jax.lax.axis_index(mc_axis)
@@ -127,10 +132,12 @@ class Smooth:
     def __init__(self, predict_fn: Callable, num_classes: int, sigma,
                  certificate: Certificate, noise_dim: int,
                  batch_size: int = 100, mesh: Optional[Mesh] = None,
-                 params=None):
+                 params=None, param_specs=None):
         """If ``params`` is given, predict_fn must take (params, z, p); the
         weights are then passed as runtime arguments instead of being baked
-        into the compiled program as constants (see make_counts_fn)."""
+        into the compiled program as constants (see make_counts_fn).
+        ``param_specs`` optionally shards those params over the mesh (e.g.
+        the gallery over the 'id' axis)."""
         self.num_classes = num_classes
         self.sigma = jnp.asarray(sigma, jnp.float32)
         self.certificate = certificate
@@ -139,7 +146,8 @@ class Smooth:
         self.params = params
         counts_fn = make_counts_fn(
             predict_fn, num_classes, certificate, batch_size, noise_dim,
-            mesh=mesh, with_params=params is not None)
+            mesh=mesh, with_params=params is not None,
+            param_specs=param_specs)
         if params is not None:
             self._counts_fn = lambda *a: counts_fn(self.params, *a)
         else:

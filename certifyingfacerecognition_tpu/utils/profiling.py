@@ -1,0 +1,92 @@
+"""Tracing and phase-timing subsystem.
+
+The reference's observability is wall-clock prints scattered through the
+scripts (certify.py:129-156, gen_utils.py:639,700, autoattack.py:130) —
+SURVEY.md §5. Here it is a real subsystem:
+
+  * ``trace(logdir)`` — context manager around jax.profiler for device
+    traces viewable in TensorBoard/Perfetto;
+  * ``annotate(name)`` — TraceAnnotation so named phases show up inside
+    device traces;
+  * ``PhaseTimer`` — accumulating named wall-clock phases with a report,
+    replacing the ad-hoc prints (works under jit dispatch by optionally
+    synchronising on a result);
+  * ``device_sync(x)`` — a *real* barrier: under some remote-execution
+    transports (axon) ``block_until_ready`` returns before execution
+    finishes, so synchronisation pulls one element to the host.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def device_sync(x=None) -> None:
+    """Barrier on device work. Pulls one scalar to the host, which is the
+    only reliable sync under remote-execution transports."""
+    if x is None:
+        return
+    leaf = jax.tree.leaves(x)
+    if leaf:
+        np.asarray(jax.device_get(leaf[0].ravel()[0] if leaf[0].ndim else
+                                  leaf[0]))
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a device trace under ``logdir`` (jax.profiler)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region inside a device trace."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class PhaseTimer:
+    """Accumulating wall-clock phase timers.
+
+    Usage::
+
+        timer = PhaseTimer()
+        with timer.phase("synthesis", sync=img):
+            img = synth(w)
+        logger.info(timer.report())
+    """
+
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def phase(self, name: str, sync=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            device_sync(sync)
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def report(self) -> str:
+        total = sum(self.totals.values()) or 1.0
+        lines = ["phase timings:"]
+        for name in sorted(self.totals, key=self.totals.get, reverse=True):
+            t, c = self.totals[name], self.counts[name]
+            lines.append(f"  {name:24s} {t:8.3f}s ({c}x, "
+                         f"{t / c * 1e3:7.1f} ms/call, {100 * t / total:4.1f}%)")
+        return "\n".join(lines)
+
+    def reset(self) -> None:
+        self.totals.clear()
+        self.counts.clear()

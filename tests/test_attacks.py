@@ -167,3 +167,23 @@ def test_apgd_attacks_run_and_verify():
                                  region, n_iter=15, n_restarts=1,
                                  n_target_classes=2)
     assert np.asarray(res_t.success).any()
+
+
+def test_square_attack_finds_adversaries_gradient_free():
+    """The ellipsoid-native Square redesign must find the toy adversaries
+    using only forward evaluations."""
+    from certifyingfacerecognition_tpu.attacks.square import square_attack
+
+    dists_fn, lats, labels, region = _toy_problem()
+
+    def logits_fn(deltas):
+        pert = jnp.dot(deltas, region.dirs.T)
+        return -dists_fn(lats + pert)
+
+    res = square_attack(logits_fn, labels, jax.random.PRNGKey(0), region,
+                        n_iter=200, n_restarts=2)
+    assert bool(res.success.all())
+    assert_deltas_feasible(res.deltas, region)
+    # success flags re-verifiable from the recorded deltas
+    preds = np.asarray(jnp.argmax(logits_fn(res.deltas), axis=1))
+    assert (preds != np.asarray(labels)).all()

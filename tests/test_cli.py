@@ -88,3 +88,22 @@ def test_certify_tsv(workdir, data_dir):
         cols = row.split("\t")
         assert len(cols) == 7
         float(cols[4]), float(cols[5])
+
+    # --resume: re-run with a higher --max appends ONLY the missing rows.
+    certify.main(["--face-recog-model", "insightface", "--outfile", out,
+                  "--sigma", "0.5", "--data-dir", data_dir,
+                  "--resolution", str(RES), "--N", "40", "--N0", "10",
+                  "--batch-sz", "20", "--max", "4", "--resume"])
+    rows = open(out).read().strip().split("\n")
+    assert [r.split("\t")[0] for r in rows[1:]] == ["0", "1", "2"]
+
+
+def test_certify_sharded_gallery_mesh(workdir, data_dir):
+    out = osp.join(workdir, "cert_mesh.tsv")
+    certify.main(["--face-recog-model", "insightface", "--outfile", out,
+                  "--sigma", "0.5", "--data-dir", data_dir,
+                  "--resolution", str(RES), "--N", "24", "--N0", "8",
+                  "--batch-sz", "8", "--max", "2",
+                  "--mesh", "--mesh-id", "2"])
+    rows = open(out).read().strip().split("\n")
+    assert len(rows) == 2 and rows[1].split("\t")[0] == "0"

@@ -1,0 +1,103 @@
+"""Sharded-gallery tests: distributed exact argmin over the 'id' mesh axis
+must match the single-device refined argmin, and the sharded counting
+program must match replicated counts."""
+
+from functools import partial
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from certifyingfacerecognition_tpu.ops import distances as D
+from certifyingfacerecognition_tpu.parallel.gallery import (
+    make_sharded_gallery_predict_fn, sharded_argmin_dist)
+from certifyingfacerecognition_tpu.smoothing.certificate import L2Certificate
+from certifyingfacerecognition_tpu.smoothing.smooth import make_counts_fn
+
+rng = np.random.default_rng(0)
+
+
+def _mesh_2d(n_mc=4, n_id=2):
+    devs = np.array(jax.devices()[: n_mc * n_id]).reshape(n_mc, n_id)
+    return Mesh(devs, ("mc", "id"))
+
+
+@pytest.mark.parametrize("method", ["insightface", "facenet"])
+def test_sharded_argmin_matches_single_device(method):
+    mesh = _mesh_2d()
+    N, B = 64, 16
+    gallery = jnp.asarray(rng.standard_normal((N, 512)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, 512)), jnp.float32)
+
+    want = D.argmin_dist_refined(x, gallery, method)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P("id")), out_specs=P(),
+             check_vma=False)
+    def run(x, gal_shard):
+        return sharded_argmin_dist(x, gal_shard, method)
+
+    got = run(x, gallery)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_argmin_near_ties():
+    """Duplicated gallery rows across different shards: lowest global index
+    must win, as with single-device argmin."""
+    mesh = _mesh_2d()
+    N, B = 64, 8
+    gallery = np.asarray(rng.standard_normal((N, 512)), np.float32)
+    x = gallery[:B].copy()                 # exact hits
+    gallery[40:48] = gallery[:8]           # duplicates on the other shard
+    gallery = jnp.asarray(gallery)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P("id")), out_specs=P(),
+             check_vma=False)
+    def run(x, gal_shard):
+        return sharded_argmin_dist(x, gal_shard, "insightface")
+
+    got = np.asarray(run(jnp.asarray(x), gallery))
+    np.testing.assert_array_equal(got, np.arange(B))
+
+
+def test_counts_with_sharded_gallery_matches_replicated():
+    mesh = _mesh_2d()
+    N, k, bs = 32, 5, 8
+    gallery = jnp.asarray(rng.standard_normal((N, 512)) * 0.3, jnp.float32)
+    dirs = jnp.asarray(np.linalg.qr(
+        rng.standard_normal((512, k)))[0][:, :k].T, jnp.float32)
+    z = gallery[3]
+    cert = L2Certificate()
+
+    def embed_fn(gen, frm, w):          # identity embedding for the test
+        return w
+
+    def plain_predict(params, zz, p):
+        w = zz[None, :] + jnp.dot(p, dirs,
+                                  precision=jax.lax.Precision.HIGHEST)
+        return D.argmin_dist_refined(w, params["gallery"], "insightface")
+
+    sharded_predict = make_sharded_gallery_predict_fn(embed_fn, dirs)
+
+    params = {"gen": {}, "frm": {}, "gallery": gallery}
+    specs = {"gen": P(), "frm": P(), "gallery": P("id")}
+
+    counts_plain = make_counts_fn(plain_predict, N, cert, bs, k,
+                                  with_params=True)
+    counts_shard = make_counts_fn(sharded_predict, N, cert, bs, k,
+                                  mesh=mesh, with_params=True,
+                                  param_specs=specs)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    valid = jnp.array([bs, bs, bs // 2], jnp.int32)
+    x = jnp.zeros((k,), jnp.float32)
+    sigma = jnp.asarray(0.2, jnp.float32)
+
+    a = np.asarray(counts_plain(params, z, x, sigma, keys, valid))
+    b = np.asarray(counts_shard(params, z, x, sigma, keys, valid))
+    assert a.sum() == b.sum() == float(2 * bs + bs // 2)
+    # Same class histogram shape; RNG streams differ (per-device fold_in),
+    # so compare distributions only loosely: the dominant class must agree.
+    assert a.argmax() == b.argmax() == 3

@@ -1,0 +1,108 @@
+"""TF-pickle converter test: a synthetic official-style snapshot (dnnlib
+Network objects holding TF-layout variables) must convert to exactly the
+same parameters as the torch-state-dict path."""
+
+import pickle
+import sys
+import types
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from certifyingfacerecognition_tpu.models import stylegan
+from certifyingfacerecognition_tpu.tools import pkl_converter as PC
+from certifyingfacerecognition_tpu.utils import weights as W
+
+RES = 128
+rng = np.random.default_rng(11)
+
+
+def _torch_sd_to_tf_vars(sd, resolution):
+    """Inverse of the converter's relayout: build the TF-side variables."""
+    tf_vars = {}
+    for torch_name, tf_name in PC.stylegan_tf_to_torch_names(resolution):
+        var = np.asarray(sd[torch_name], np.float32)
+        if "linear.weight" in torch_name:
+            var = var.T
+        elif torch_name.endswith("conv.weight"):
+            var = var.transpose(2, 3, 1, 0)          # OIHW -> HWIO
+        if torch_name == "synthesis.layer0.first_layer":
+            var = var[0]                              # [C,4,4] TF const
+        if tf_name.startswith("noise"):
+            h, w = var.shape[-2:]
+            var = var.reshape(1, h, w, 1)             # NHWC TF noise
+        tf_vars[tf_name] = var
+    return tf_vars
+
+
+def _write_fake_official_pkl(path, tf_vars):
+    """Pickle (G, D, Gs)-style tuple of fake dnnlib Network objects."""
+    dnnlib = types.ModuleType("dnnlib")
+    tflib = types.ModuleType("dnnlib.tflib")
+    network_mod = types.ModuleType("dnnlib.tflib.network")
+
+    class Network:
+        def __init__(self, variables, components=None):
+            self.variables = variables
+            self.components = components or {}
+
+        def __getstate__(self):
+            return {"version": 3, "variables": self.variables,
+                    "components": self.components}
+
+    Network.__module__ = "dnnlib.tflib.network"
+    Network.__qualname__ = "Network"
+    network_mod.Network = Network
+    tflib.network = network_mod
+    dnnlib.tflib = tflib
+    sys.modules.update({"dnnlib": dnnlib, "dnnlib.tflib": tflib,
+                        "dnnlib.tflib.network": network_mod})
+    try:
+        items = sorted(tf_vars.items())
+        # Split across sub-networks like the official snapshots (mapping /
+        # synthesis components), with a stale G before the averaged Gs.
+        mapping = Network([(k, v * 0.5) for k, v in items if "Dense" in k])
+        stale = Network([(k, np.zeros_like(v)) for k, v in items[:4]])
+        gs = Network([(k, v) for k, v in items if "Dense" not in k],
+                     components={"mapping": mapping})
+        with open(path, "wb") as f:
+            pickle.dump((stale, None, gs), f, protocol=2)
+    finally:
+        for m in ("dnnlib.tflib.network", "dnnlib.tflib", "dnnlib"):
+            sys.modules.pop(m, None)
+
+
+@pytest.fixture()
+def fake_pkl(tmp_path):
+    sd = stylegan.random_torch_style_state_dict(RES, seed=4)
+    tf_vars = _torch_sd_to_tf_vars(sd, RES)
+    # make mapping vars carry the doubled value so the 0.5x in the fake
+    # mapping component reproduces the original
+    tf_vars = {k: (v * 2 if "Dense" in k else v) for k, v in tf_vars.items()}
+    path = str(tmp_path / "fake-stylegan-128.pkl")
+    _write_fake_official_pkl(path, tf_vars)
+    return path, sd
+
+
+def test_pkl_loads_without_dnnlib(fake_pkl):
+    path, _ = fake_pkl
+    assert "dnnlib" not in sys.modules
+    tf_vars = PC.load_pkl_variables(path)
+    assert "dlatent_avg" in tf_vars and "Dense0/weight" in tf_vars
+    # Gs variables must override the stale G copies.
+    assert float(np.abs(tf_vars["dlatent_avg"]).sum()) > 0
+
+
+def test_pkl_conversion_matches_torch_path(fake_pkl, tmp_path):
+    path, sd = fake_pkl
+    out = str(tmp_path / "conv.npz")
+    PC.convert_stylegan_pkl(path, out, resolution=RES)
+    got = W.load_params(out)
+    want = stylegan.convert_torch_state_dict(sd, RES)
+
+    z = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+    img_w = stylegan.synthesize_from_z(want, z, resolution=RES)
+    img_g = stylegan.synthesize_from_z(got, z, resolution=RES)
+    np.testing.assert_allclose(np.asarray(img_g), np.asarray(img_w),
+                               atol=1e-5)
