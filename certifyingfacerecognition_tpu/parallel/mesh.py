@@ -50,3 +50,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_leading(mesh: Mesh, axis_name: str) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialise multi-host JAX (one process per host of a pod slice).
+
+    Replaces the reference's SLURM job-array sharding (README.md:17-18)
+    with a real distributed runtime: after this, jax.devices() spans the
+    whole slice and meshes built from it shard over ICI+DCN. On TPU pods
+    the arguments auto-detect from the environment; they only need to be
+    passed for CPU/GPU fleets or tests.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def get_pod_mesh(n_id: int = 1) -> Mesh:
+    """(mc, id) mesh over the full (possibly multi-host) device set,
+    laid out so the larger mc axis maps onto contiguous devices (ICI
+    neighbours on a TPU slice) and collectives avoid DCN where possible."""
+    devices = jax.devices()
+    n = len(devices)
+    assert n % n_id == 0, f"{n} devices not divisible by id={n_id}"
+    return get_2d_mesh(n // n_id, n_id, devices=devices)
