@@ -33,8 +33,8 @@ def main():
     from certifyingfacerecognition_tpu.smoothing.smooth import make_counts_fn
 
     resolution = int(os.environ.get("BENCH_RESOLUTION", "1024"))
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
-    n_batches = int(os.environ.get("BENCH_NBATCHES", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    n_batches = int(os.environ.get("BENCH_NBATCHES", "3"))
     n_gallery = int(os.environ.get("BENCH_GALLERY", "1000"))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" \
         else jnp.float32
