@@ -103,8 +103,15 @@ def main(argv=None) -> None:
               "gallery": pipeline.gallery}
     num_chunk = args.num_chunk if args.num_chunk is not None else 0
     dists_fn = make_dists_fn(args.face_recog_method, args.resolution, dtype)
-    log_file = eval_chunk(params, lat_codes, num_chunk, args, region=region,
-                          dists_fn=dists_fn)
+    if args.profile_dir:
+        from ..utils.profiling import trace
+
+        with trace(args.profile_dir):
+            log_file = eval_chunk(params, lat_codes, num_chunk, args,
+                                  region=region, dists_fn=dists_fn)
+    else:
+        log_file = eval_chunk(params, lat_codes, num_chunk, args,
+                              region=region, dists_fn=dists_fn)
     log.info(f"Chunk log at {log_file}")
     log.info(f"Total time: {time() - t0:3.1f}s")
 

@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dtype", type=str, default="fp32",
                         choices=["fp32", "bf16"],
                         help="Compute dtype for the fused pipeline")
+    parser.add_argument("--run-checks", action="store_true", default=False,
+                        help="Run defense sanity checks before attacking "
+                             "(autoattack checks.py equivalents)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler device trace of the "
+                             "chunk into this directory")
     return parser
 
 
@@ -118,8 +124,12 @@ def finalize_args(args: argparse.Namespace) -> argparse.Namespace:
 
     args.final_results = osp.join(args.output_dir, "results.txt")
 
-    logger = setup_logger(osp.join(args.output_dir, f"chunk_{chunk}"),
-                          logger_name=f"chunk_{chunk}")
+    # Logger names are process-global: qualify by output dir so different
+    # experiments can run from one process (the reference is one-process-
+    # per-invocation and uses the bare chunk name).
+    logger = setup_logger(
+        osp.join(args.output_dir, f"chunk_{chunk}"),
+        logger_name=f"{osp.basename(args.output_dir)}_chunk_{chunk}")
     logger.info(args2text(args))
     args.LOGGER = logger
     return args

@@ -104,6 +104,26 @@ def eval_chunk(params: Dict, lat_codes: np.ndarray, num_chunk: int, args,
     attack_step = _make_attack_step(dists_fn, region, args)
     base_key = jax.random.PRNGKey(args.seed)
 
+    if getattr(args, "run_checks", False):
+        # Pre-attack defense sanity checks on the first batch, mirroring
+        # run_standard_evaluation's check battery (autoattack.py:99-105).
+        from ..attacks.checks import run_all_checks
+
+        first = jnp.asarray(chunk_lats[:bs])
+        labels0 = jnp.arange(start, start + first.shape[0])
+
+        def logits0(p):
+            pert = jnp.dot(p, region.dirs.T)
+            return -dists_fn(params, first + pert)
+
+        from ..attacks.losses import compute_loss
+
+        zeros = jnp.zeros((first.shape[0], region.dirs.shape[1]),
+                          jnp.float32)
+        grad_fn = jax.grad(lambda p: compute_loss(-logits0(p), labels0,
+                                                  loss_type="xent"))
+        run_all_checks(logits0, zeros, labels0, grad_fn=grad_fn, logger=log)
+
     deltas, successes, magnitudes, all_labels = [], [], [], []
     tot = 0
     for idx in range(0, chunk_length, bs):

@@ -107,3 +107,28 @@ def test_certify_sharded_gallery_mesh(workdir, data_dir):
                   "--mesh", "--mesh-id", "2"])
     rows = open(out).read().strip().split("\n")
     assert len(rows) == 2 and rows[1].split("\t")[0] == "0"
+
+
+def test_generate_data_pggan(workdir):
+    out = osp.join(workdir, "data_pggan")
+    generate_data.main(["-m", "pggan_celebahq", "-o", out, "-n", "2",
+                        "-s", "z", "--resolution", str(RES),
+                        "--batch-size", "2"])
+    z = np.load(osp.join(out, "z.npy"))
+    assert z.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(z, axis=1),
+                               np.sqrt(512.0), rtol=1e-5)
+    assert len(os.listdir(osp.join(out, "ims"))) == 2
+
+
+def test_attack_facenet_and_checks(workdir, data_dir):
+    """FaceNet FRM path (cosine distances, 160px input) + the pre-attack
+    defense check battery, through the CLI."""
+    main_attack.main(["--output-dir", "atk_fn", "--num-chunk", "0",
+                      "--data-dir", data_dir, "--chunks", "4",
+                      "--batch-size", "1", "--resolution", str(RES),
+                      "--iters", "2", "--restarts", "1", "--seed", "2",
+                      "--face-recog-method", "facenet", "--run-checks"])
+    logs = os.listdir(osp.join("exp_results", "atk_fn", "logs"))
+    assert "results_chunk0of4.txt" in logs
+    assert osp.isfile(osp.join(data_dir, "embs_facenet.npz"))
