@@ -105,6 +105,15 @@ def truncation_apply(params: Dict, w: jnp.ndarray, *, resolution: int,
     return w_avg + (wp - w_avg) * jnp.asarray(coefs, wp.dtype)
 
 
+def _style(p: Dict, w_layer: jnp.ndarray, c: int, *, dtype, prec
+           ) -> tuple:
+    """AdaIN style affine (s0, s1): dense(512 -> 2C) with gain 1.0, lr 1.0,
+    linear activation (stylegan_generator_model.py:487-505)."""
+    style = nn.dense(w_layer, p["style_weight"].astype(dtype), precision=prec)
+    style = style * _wscale(W_DIM, gain=1.0) + p["style_bias"].astype(dtype)
+    return style[:, :c], style[:, c:]
+
+
 def _epilogue(p: Dict, x: jnp.ndarray, w_layer: jnp.ndarray, *,
               dtype, prec) -> jnp.ndarray:
     """noise -> bias -> lrelu -> instance-norm -> AdaIN style modulation
@@ -113,12 +122,23 @@ def _epilogue(p: Dict, x: jnp.ndarray, w_layer: jnp.ndarray, *,
     x = x + p["bias"].astype(dtype)
     x = nn.lrelu(x)
     x = nn.instance_norm(x)
-    # Style: dense(512 -> 2C) with gain 1.0, lr 1.0, linear activation.
     c = x.shape[-1]
-    style = nn.dense(w_layer, p["style_weight"].astype(dtype), precision=prec)
-    style = style * _wscale(W_DIM, gain=1.0) + p["style_bias"].astype(dtype)
-    s0, s1 = style[:, :c], style[:, c:]
+    s0, s1 = _style(p, w_layer, c, dtype=dtype, prec=prec)
     return x * (s0[:, None, None, :] + 1.0) + s1[:, None, None, :]
+
+
+def _blur_epilogue_fused(p: Dict, x: jnp.ndarray, w_layer: jnp.ndarray, *,
+                         dtype, prec) -> jnp.ndarray:
+    """blur + epilogue as the streaming Pallas kernel (bf16 path; 2x the
+    XLA op chain on the high-res tail — ops/fused_blur_epilogue.py)."""
+    from ..ops.fused_blur_epilogue import blur_epilogue
+
+    c = x.shape[-1]
+    noise_nw = (p["noise"] * p["noise_weight"]).astype(dtype)
+    s0, s1 = _style(p, w_layer, c, dtype=dtype, prec=prec)
+    return blur_epilogue(x, noise_nw, p["bias"].astype(jnp.float32),
+                         (s0 + 1.0).astype(jnp.float32),
+                         s1.astype(jnp.float32))
 
 
 def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
@@ -141,7 +161,8 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
         li = 2 * block_idx - 2
         if li > 0:  # up-conv block
             p = syn[f"layer{li}"]
-            if is_fused_layer(li):
+            fused = is_fused_layer(li)
+            if fused:
                 # Precomputed 4x4 kernel; equivalent to torch
                 # F.conv_transpose2d(x, k, stride=2, padding=1).
                 x = jax.lax.conv_general_dilated(
@@ -155,8 +176,22 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
                 scale = _wscale(x.shape[-1] * 9)
                 x = nn.conv2d(x, p["conv_weight"].astype(dtype),
                               precision=prec) * scale
-            x = nn.blur_3x3(x, precision=prec)
-            x = _epilogue(p, x, wp[:, li], dtype=dtype, prec=prec)
+            # The Pallas blur+epilogue kernel beats the XLA op chain 2x in
+            # isolation, but loses in-context: the custom call forces dense
+            # layouts at its boundary while XLA keeps conv activations in
+            # its own (channel-padded) layout, so conversions eat the win
+            # (docs/PERF.md). Off by default until the tail's convs are
+            # also Pallas (then dense layouts flow end-to-end).
+            import os
+            if fused and dtype == jnp.bfloat16 and \
+                    os.environ.get("CFR_FUSED_EPILOGUE", "0") == "1" and \
+                    (x.shape[2] * x.shape[3]) % 128 == 0 and \
+                    x.shape[1] % 8 == 0:
+                x = _blur_epilogue_fused(p, x, wp[:, li], dtype=dtype,
+                                         prec=prec)
+            else:
+                x = nn.blur_3x3(x, precision=prec)
+                x = _epilogue(p, x, wp[:, li], dtype=dtype, prec=prec)
 
         li = 2 * block_idx - 1  # plain conv block
         p = syn[f"layer{li}"]
