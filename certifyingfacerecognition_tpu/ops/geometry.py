@@ -82,9 +82,13 @@ class Ellipsoid:
     diag: Optional[jnp.ndarray] = None       # [d] if A is diagonal
     eigvals: Optional[jnp.ndarray] = None    # [d] if A is dense
     eigvecs: Optional[jnp.ndarray] = None    # [d, d]; A = V diag(lam) V^T
+    # inv(chol(A)^T) for dense A — precomputed at construction; computing
+    # it lazily would call host linalg on traced arrays under jit.
+    chol_inv_t_dense: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return (self.diag, self.eigvals, self.eigvecs), None
+        return (self.diag, self.eigvals, self.eigvecs,
+                self.chol_inv_t_dense), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -107,8 +111,11 @@ class Ellipsoid:
     def from_dense(cls, A) -> "Ellipsoid":
         A = np.asarray(A, np.float64)
         lam, V = np.linalg.eigh((A + A.T) / 2.0)
+        chol = np.linalg.cholesky((A + A.T) / 2.0)
         return cls(eigvals=jnp.asarray(lam, jnp.float32),
-                   eigvecs=jnp.asarray(V, jnp.float32))
+                   eigvecs=jnp.asarray(V, jnp.float32),
+                   chol_inv_t_dense=jnp.asarray(np.linalg.inv(chol.T),
+                                                jnp.float32))
 
     def mat(self) -> jnp.ndarray:
         if self.is_diag:
@@ -129,9 +136,9 @@ class Ellipsoid:
         """
         if self.is_diag:
             return jnp.diag(1.0 / jnp.sqrt(self.diag))
-        A = np.asarray(self.mat(), np.float64)
-        chol = np.linalg.cholesky(A)
-        return jnp.asarray(np.linalg.inv(chol.T), jnp.float32)
+        assert self.chol_inv_t_dense is not None, \
+            "dense Ellipsoid must be built with from_dense"
+        return self.chol_inv_t_dense
 
 
 # ---------------------------------------------------------------------------

@@ -132,3 +132,15 @@ def test_attack_facenet_and_checks(workdir, data_dir):
     logs = os.listdir(osp.join("exp_results", "atk_fn", "logs"))
     assert "results_chunk0of4.txt" in logs
     assert osp.isfile(osp.join(data_dir, "embs_facenet.npz"))
+
+
+def test_attack_no_lin_comb(workdir, data_dir):
+    """Full 512-dim deltas (subspace + dense-ellipsoid projection in-graph);
+    regression for the traced-Cholesky bug in Ellipsoid.cholesky_inv_t."""
+    main_attack.main(["--output-dir", "atk_nlc", "--num-chunk", "0",
+                      "--data-dir", data_dir, "--chunks", "4",
+                      "--batch-size", "1", "--resolution", str(RES),
+                      "--iters", "2", "--restarts", "1", "--seed", "4",
+                      "--no-lin-comb"])
+    logs = os.listdir(osp.join("exp_results", "atk_nlc", "logs"))
+    assert "results_chunk0of4.txt" in logs
