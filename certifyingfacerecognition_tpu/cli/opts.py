@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dtype", type=str, default="fp32",
                         choices=["fp32", "bf16"],
                         help="Compute dtype for the fused pipeline")
+    parser.add_argument("--mesh", action="store_true", default=False,
+                        help="Shard the attack batch over all local devices "
+                             "(batch-size must divide the device count)")
     parser.add_argument("--run-checks", action="store_true", default=False,
                         help="Run defense sanity checks before attacking "
                              "(autoattack checks.py equivalents)")

@@ -37,22 +37,30 @@ from ..ops import geometry as G
 from . import artifacts, ranking
 
 
-def make_dists_fn(frs_method: str, resolution: int, dtype=jnp.float32
-                  ) -> Callable:
+def make_dists_fn(frs_method: str, resolution: int, dtype=jnp.float32,
+                  remat: bool = True) -> Callable:
     """dists(params, w [B,512]) -> [B, N] differentiable gallery distances.
-    params = {gen, frm, gallery}; weights travel as runtime arguments."""
+    params = {gen, frm, gallery}; weights travel as runtime arguments.
+
+    ``remat`` rematerialises the generator+FRM forward in the backward
+    pass (jax.checkpoint): storing every 1024^2 synthesis activation for
+    the gradient OOMs 16 GB HBM already at batch 20; recomputing trades
+    one extra forward for O(batch) instead of O(batch x depth) memory."""
     embed = make_lat2embs(frs_method, resolution, dtype=dtype)
 
     def dists(params, w):
         embs = embed(params["gen"], params["frm"], w).astype(jnp.float32)
         return D.cdist(embs, params["gallery"], frs_method)
 
-    return dists
+    return jax.checkpoint(dists) if remat else dists
 
 
 def _make_attack_step(dists_fn: Callable, region: G.RegionMatrices, args
                       ) -> Callable:
-    """One jitted attack program over a batch of identities."""
+    """One jitted attack program over a batch of identities; with
+    args.mesh the batch axis is sharded over all local devices (data
+    parallelism — the attacks are per-sample optimisations, so XLA
+    partitions them with no cross-sample collectives)."""
 
     if args.attack_type == "manual":
         def step(params, lats, labels, key):
@@ -70,7 +78,23 @@ def _make_attack_step(dists_fn: Callable, region: G.RegionMatrices, args
                 args.attack_type, iters=args.iters, restarts=args.restarts,
                 n_target_classes=args.n_target_classes)
 
-    return jax.jit(step)
+    if not getattr(args, "mesh", False):
+        return jax.jit(step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import MC_AXIS, get_mesh
+
+    # Largest device count that divides the batch.
+    n_dev = len(jax.devices())
+    bs = getattr(args, "batch_size", n_dev)
+    while bs % n_dev:
+        n_dev -= 1
+    mesh = get_mesh(MC_AXIS, n_devices=n_dev)
+    repl = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P(MC_AXIS))
+    return jax.jit(step, in_shardings=(repl, row, row, repl),
+                   out_shardings=row)
 
 
 def eval_chunk(params: Dict, lat_codes: np.ndarray, num_chunk: int, args,

@@ -158,46 +158,19 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
     x = _epilogue(p0, x, wp[:, 0], dtype=dtype, prec=prec)
 
     for block_idx in range(1, len(channels)):
-        li = 2 * block_idx - 2
-        if li > 0:  # up-conv block
-            p = syn[f"layer{li}"]
-            fused = is_fused_layer(li)
-            if fused:
-                # Precomputed 4x4 kernel; equivalent to torch
-                # F.conv_transpose2d(x, k, stride=2, padding=1).
-                x = jax.lax.conv_general_dilated(
-                    x, p["tconv_kernel"].astype(dtype),
-                    window_strides=(1, 1), padding=((2, 2), (2, 2)),
-                    lhs_dilation=(2, 2),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    precision=prec)
-            else:
-                x = nn.upsample_nearest_2x(x)
-                scale = _wscale(x.shape[-1] * 9)
-                x = nn.conv2d(x, p["conv_weight"].astype(dtype),
-                              precision=prec) * scale
-            # The Pallas blur+epilogue kernel beats the XLA op chain 2x in
-            # isolation, but loses in-context: the custom call forces dense
-            # layouts at its boundary while XLA keeps conv activations in
-            # its own (channel-padded) layout, so conversions eat the win
-            # (docs/PERF.md). Off by default until the tail's convs are
-            # also Pallas (then dense layouts flow end-to-end).
-            import os
-            if fused and dtype == jnp.bfloat16 and \
-                    os.environ.get("CFR_FUSED_EPILOGUE", "0") == "1" and \
-                    (x.shape[2] * x.shape[3]) % 128 == 0 and \
-                    x.shape[1] % 8 == 0:
-                x = _blur_epilogue_fused(p, x, wp[:, li], dtype=dtype,
-                                         prec=prec)
-            else:
-                x = nn.blur_3x3(x, precision=prec)
-                x = _epilogue(p, x, wp[:, li], dtype=dtype, prec=prec)
-
-        li = 2 * block_idx - 1  # plain conv block
-        p = syn[f"layer{li}"]
-        scale = _wscale(x.shape[-1] * 9)
-        x = nn.conv2d(x, p["conv_weight"].astype(dtype), precision=prec) * scale
-        x = _epilogue(p, x, wp[:, li], dtype=dtype, prec=prec)
+        # Each resolution block is rematerialised (jax.checkpoint): free on
+        # the forward-only certify path, and it caps the attack backward's
+        # peak memory at one block's activations instead of the whole
+        # 1024^2 synthesis (which OOMs 16 GB HBM at batch 20 already).
+        block_params = {
+            k: syn[k] for k in (f"layer{2 * block_idx - 2}",
+                                f"layer{2 * block_idx - 1}")
+            if k in syn
+        }
+        x = jax.checkpoint(
+            lambda x, bp, wp, bi=block_idx: _synthesis_block(
+                bp, x, wp, block_idx=bi, dtype=dtype, prec=prec),
+            static_argnums=())(x, block_params, wp)
 
     # Final ToRGB only (intermediate heads are dead work at lod=0).
     po = syn[f"output{len(channels) - 2}"]
@@ -206,6 +179,54 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
                     padding=((0, 0), (0, 0)), precision=prec) * scale
     img = img + po["bias"].astype(dtype)
     return img
+
+
+def _synthesis_block(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
+                     block_idx: int, dtype, prec) -> jnp.ndarray:
+    """One resolution block: up-conv + blur + epilogue (absent for the
+    first block, whose layer0 is the learned constant), then conv +
+    epilogue (stylegan_generator_model.py:331-395)."""
+    import os
+
+    li = 2 * block_idx - 2
+    if li > 0:  # up-conv layer
+        p = syn[f"layer{li}"]
+        fused = is_fused_layer(li)
+        if fused:
+            # Precomputed 4x4 kernel; equivalent to torch
+            # F.conv_transpose2d(x, k, stride=2, padding=1).
+            x = jax.lax.conv_general_dilated(
+                x, p["tconv_kernel"].astype(dtype),
+                window_strides=(1, 1), padding=((2, 2), (2, 2)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=prec)
+        else:
+            x = nn.upsample_nearest_2x(x)
+            scale = _wscale(x.shape[-1] * 9)
+            x = nn.conv2d(x, p["conv_weight"].astype(dtype),
+                          precision=prec) * scale
+        # The Pallas blur+epilogue kernel beats the XLA op chain 2x in
+        # isolation, but loses in-context: the custom call forces dense
+        # layouts at its boundary while XLA keeps conv activations in its
+        # own (channel-padded) layout, so conversions eat the win
+        # (docs/PERF.md). Off by default until the tail's convs are also
+        # Pallas (then dense layouts flow end-to-end).
+        if fused and dtype == jnp.bfloat16 and \
+                os.environ.get("CFR_FUSED_EPILOGUE", "0") == "1" and \
+                (x.shape[2] * x.shape[3]) % 128 == 0 and \
+                x.shape[1] % 8 == 0:
+            x = _blur_epilogue_fused(p, x, wp[:, li], dtype=dtype,
+                                     prec=prec)
+        else:
+            x = nn.blur_3x3(x, precision=prec)
+            x = _epilogue(p, x, wp[:, li], dtype=dtype, prec=prec)
+
+    li = 2 * block_idx - 1  # plain conv layer
+    p = syn[f"layer{li}"]
+    scale = _wscale(x.shape[-1] * 9)
+    x = nn.conv2d(x, p["conv_weight"].astype(dtype), precision=prec) * scale
+    return _epilogue(p, x, wp[:, li], dtype=dtype, prec=prec)
 
 
 def postprocess(images: jnp.ndarray, min_val: float = -1.0,

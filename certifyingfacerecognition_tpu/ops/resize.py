@@ -45,8 +45,11 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
                     *, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """x: [B, H, W, C] -> [B, out_h, out_w, C], torch-bilinear-exact."""
     b, h, w, c = x.shape
-    Mv = jnp.asarray(_interp_matrix(out_h, h))
-    Mh = jnp.asarray(_interp_matrix(out_w, w))
+    # Match the input dtype: f32 sampling matrices would silently promote
+    # a bf16 pipeline (and its gradients) to f32 — the interpolation
+    # weights are exact in bf16 up to its resolution either way.
+    Mv = jnp.asarray(_interp_matrix(out_h, h), x.dtype)
+    Mh = jnp.asarray(_interp_matrix(out_w, w), x.dtype)
     y = jnp.einsum("oh,bhwc->bowc", Mv, x, precision=precision)
     y = jnp.einsum("pw,bowc->bopc", Mh, y, precision=precision)
     return y

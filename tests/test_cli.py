@@ -144,3 +144,14 @@ def test_attack_no_lin_comb(workdir, data_dir):
                       "--no-lin-comb"])
     logs = os.listdir(osp.join("exp_results", "atk_nlc", "logs"))
     assert "results_chunk0of4.txt" in logs
+
+
+def test_attack_mesh_sharded_batch(workdir, data_dir):
+    """Attack batch sharded over the 8 virtual devices."""
+    main_attack.main(["--output-dir", "atk_mesh", "--num-chunk", "0",
+                      "--data-dir", data_dir, "--chunks", "1",
+                      "--batch-size", "4", "--resolution", str(RES),
+                      "--iters", "2", "--restarts", "1", "--seed", "5",
+                      "--mesh"])
+    logs = os.listdir(osp.join("exp_results", "atk_mesh", "logs"))
+    assert "results_chunk0of1.txt" in logs
