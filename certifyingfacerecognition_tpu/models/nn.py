@@ -14,6 +14,7 @@ fast default path for throughput.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -42,6 +43,43 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
         x, kernel, window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=feature_group_count, precision=precision)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv2d_frozen(x: jnp.ndarray, kernel: jnp.ndarray, padding=((1, 1), (1, 1)),
+                  feature_group_count: int = 1, precision=None) -> jnp.ndarray:
+    """Stride-1 NHWC conv whose weights are treated as frozen.
+
+    XLA's auto-derived grad-input conv materialises its cotangent in a
+    batch-minor layout with up to 12.8x padding expansion (gigabytes at
+    1024^2 — docs/PERF.md); written explicitly as a forward conv with the
+    spatially-flipped, io-swapped kernel it keeps the standard layout.
+    Weight gradients are intentionally ZERO — every model in this
+    framework is frozen (only latents/deltas are optimised).
+    """
+    return conv2d(x, kernel, padding=padding,
+                  feature_group_count=feature_group_count,
+                  precision=precision)
+
+
+def _conv2d_frozen_fwd(x, kernel, padding, fgc, precision):
+    return conv2d_frozen(x, kernel, padding, fgc, precision), kernel
+
+
+def _conv2d_frozen_bwd(padding, fgc, precision, kernel, dy):
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    if fgc == 1:
+        k_adj = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))
+    else:  # depthwise (I == 1): the adjoint keeps the group structure
+        k_adj = kernel[::-1, ::-1]
+    pad_adj = ((kh - 1 - padding[0][0], kh - 1 - padding[0][1]),
+               (kw - 1 - padding[1][0], kw - 1 - padding[1][1]))
+    dx = conv2d(dy, k_adj, padding=pad_adj, feature_group_count=fgc,
+                precision=precision)
+    return dx, jnp.zeros_like(kernel)
+
+
+conv2d_frozen.defvjp(_conv2d_frozen_fwd, _conv2d_frozen_bwd)
 
 
 def conv2d_transpose(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 2,
@@ -108,9 +146,12 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
-def blur_3x3(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
+def blur_3x3(x: jnp.ndarray, *, precision=None, frozen: bool = True
+             ) -> jnp.ndarray:
     """Depthwise binomial [1,2,1] x [1,2,1] / 16 blur (StyleGAN BlurLayer,
-    models/stylegan_generator_model.py:441-463).
+    models/stylegan_generator_model.py:441-463). The kernel is a constant,
+    so the frozen-weights VJP applies (symmetric kernel: the adjoint is
+    the blur itself).
 
     (A separable shifted-slice formulation was tried and is ~1.8x SLOWER:
     XLA materialises the pad/slice intermediates instead of fusing them,
@@ -120,6 +161,8 @@ def blur_3x3(x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     k1 = jnp.array([1.0, 2.0, 1.0], x.dtype)
     k = jnp.outer(k1, k1) / 16.0
     kernel = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 (dw)
+    if frozen:
+        return conv2d_frozen(x, kernel, ((1, 1), (1, 1)), c, precision)
     return conv2d(x, kernel, padding=((1, 1), (1, 1)),
                   feature_group_count=c, precision=precision)
 

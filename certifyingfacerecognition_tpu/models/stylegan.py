@@ -21,6 +21,7 @@ see convert_torch_state_dict for the exact mapping.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional
 
@@ -175,10 +176,45 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
     # Final ToRGB only (intermediate heads are dead work at lod=0).
     po = syn[f"output{len(channels) - 2}"]
     scale = 1.0 / math.sqrt(x.shape[-1])
-    img = nn.conv2d(x, po["conv_weight"].astype(dtype),
-                    padding=((0, 0), (0, 0)), precision=prec) * scale
+    img = nn.conv2d_frozen(x, po["conv_weight"].astype(dtype),
+                           ((0, 0), (0, 0)), 1, prec) * scale
     img = img + po["bias"].astype(dtype)
     return img
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _upconv(x: jnp.ndarray, k: jnp.ndarray, prec) -> jnp.ndarray:
+    """Fused-scale transposed conv (lhs-dilated 4x4, = torch
+    F.conv_transpose2d(stride=2, padding=1)) with a hand-written
+    input-gradient: XLA's auto-derived backward conv materialises the
+    cotangent in a batch-minor layout with a 12.8x padding expansion
+    (~4 GB at batch 10 and 1024^2) — expressed as an explicit stride-2
+    forward conv it keeps the standard layout.
+
+    Weight gradients are intentionally ZERO (the generator is frozen in
+    every workload of this framework; treat k as stop_gradient'ed).
+    """
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=prec)
+
+
+def _upconv_fwd(x, k, prec):
+    return _upconv(x, k, prec), k
+
+
+def _upconv_bwd(prec, k, dy):
+    # grad-input of a stride-2 deconv == stride-2 conv with the spatially
+    # flipped, io-swapped kernel (verified exact vs jax.vjp).
+    k_flip = jnp.transpose(k[::-1, ::-1], (0, 1, 3, 2))
+    dx = jax.lax.conv_general_dilated(
+        dy, k_flip, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+    return dx, jnp.zeros_like(k)
+
+
+_upconv.defvjp(_upconv_fwd, _upconv_bwd)
 
 
 def _synthesis_block(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
@@ -193,14 +229,7 @@ def _synthesis_block(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
         p = syn[f"layer{li}"]
         fused = is_fused_layer(li)
         if fused:
-            # Precomputed 4x4 kernel; equivalent to torch
-            # F.conv_transpose2d(x, k, stride=2, padding=1).
-            x = jax.lax.conv_general_dilated(
-                x, p["tconv_kernel"].astype(dtype),
-                window_strides=(1, 1), padding=((2, 2), (2, 2)),
-                lhs_dilation=(2, 2),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=prec)
+            x = _upconv(x, p["tconv_kernel"].astype(dtype), prec)
         else:
             x = nn.upsample_nearest_2x(x)
             scale = _wscale(x.shape[-1] * 9)
@@ -225,7 +254,8 @@ def _synthesis_block(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
     li = 2 * block_idx - 1  # plain conv layer
     p = syn[f"layer{li}"]
     scale = _wscale(x.shape[-1] * 9)
-    x = nn.conv2d(x, p["conv_weight"].astype(dtype), precision=prec) * scale
+    x = nn.conv2d_frozen(x, p["conv_weight"].astype(dtype),
+                         ((1, 1), (1, 1)), 1, prec) * scale
     return _epilogue(p, x, wp[:, li], dtype=dtype, prec=prec)
 
 
