@@ -40,7 +40,10 @@ def _block_apply(p: Dict, x: jnp.ndarray, stride: int, *, dtype, prec
     identity = x
     out = nn.affine_channels(x, p["bn1"]["scale"].astype(dtype),
                              p["bn1"]["shift"].astype(dtype))
-    out = nn.conv2d(out, p["conv1"].astype(dtype), precision=prec)
+    # stride-1 convs use the frozen-weight VJP (explicit grad-input conv;
+    # the FRM is never trained — see nn.conv2d_frozen).
+    out = nn.conv2d_frozen(out, p["conv1"].astype(dtype), ((1, 1), (1, 1)),
+                           1, prec)
     out = nn.affine_channels(out, p["bn2"]["scale"].astype(dtype),
                              p["bn2"]["shift"].astype(dtype))
     out = nn.prelu(out, p["prelu"].astype(dtype))
@@ -62,7 +65,8 @@ def apply(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
     """x: [B, 112, 112, 3] normalised images -> [B, 512] embeddings."""
     prec = nn.precision_for(dtype)
     x = x.astype(dtype)
-    x = nn.conv2d(x, params["conv1"].astype(dtype), precision=prec)
+    x = nn.conv2d_frozen(x, params["conv1"].astype(dtype), ((1, 1), (1, 1)),
+                         1, prec)
     x = nn.affine_channels(x, params["bn1"]["scale"].astype(dtype),
                            params["bn1"]["shift"].astype(dtype))
     x = nn.prelu(x, params["prelu"].astype(dtype))
