@@ -242,6 +242,8 @@ def _synthesis_block(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
         # (docs/PERF.md). Off by default until the tail's convs are also
         # Pallas (then dense layouts flow end-to-end).
         if fused and dtype == jnp.bfloat16 and \
+                x.shape[1] >= int(os.environ.get(
+                    "CFR_FUSED_EPILOGUE_MIN_RES", "1") or 10**9) and \
                 os.environ.get("CFR_FUSED_EPILOGUE", "0") == "1" and \
                 (x.shape[2] * x.shape[3]) % 128 == 0 and \
                 x.shape[1] % 8 == 0:
