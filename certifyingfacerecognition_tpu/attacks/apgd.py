@@ -97,12 +97,18 @@ def _attack_single_run(logits_fn: Callable, labels: jnp.ndarray,
 
     def check_oscillation(loss_steps, i, k_ctr, k3):
         """t_b = #{c < k_ctr : loss[i-c] > loss[i-c-1]}; flag t <= k*k3
-        (autopgd_base.py:177-182), with the dynamic window masked."""
+        (autopgd_base.py:177-182), with the dynamic window masked.
+
+        Negative history indices wrap to the (still-zero) trailing rows,
+        exactly like the reference's python negative indexing — clamping
+        instead would double-count the (1,0) pair at the first check."""
         max_k = n_iter_2
         cs = jnp.arange(max_k)
-        idx = jnp.clip(i - cs, 1, n_iter - 1)
-        newer = loss_steps[idx]            # [max_k, B]
-        older = loss_steps[idx - 1]
+        idx = i - cs
+        idx_new = jnp.where(idx >= 0, idx, idx + n_iter)
+        idx_old = jnp.where(idx - 1 >= 0, idx - 1, idx - 1 + n_iter)
+        newer = loss_steps[idx_new]        # [max_k, B]
+        older = loss_steps[idx_old]
         valid = (cs < k_ctr)[:, None]
         t = jnp.sum((newer > older) & valid, axis=0).astype(jnp.float32)
         return t <= k_ctr.astype(jnp.float32) * k3
@@ -188,8 +194,11 @@ def apgd_attack(
         _, acc_curr, _, adv_curr = _attack_single_run(
             logits_fn, labels, None, rk, region, n_iter=n_iter, loss=loss,
             eps=eps)
-        fooled = ~acc_curr
-        adv = jnp.where(fooled[:, None], adv_curr, adv)
+        # Keep the FIRST successful adversary; initially-misclassified
+        # samples keep the clean point (reference perturb only attacks
+        # ind_to_fool, autopgd_base.py:513-591).
+        newly = (~acc_curr) & acc
+        adv = jnp.where(newly[:, None], adv_curr, adv)
         acc = acc & acc_curr
     mags = G.sq_distance_diag(region.red_ellipse_diag, adv)
     return APGDResult(adv, ~acc, mags)
@@ -222,8 +231,10 @@ def apgd_targeted_attack(
             _, acc_curr, _, adv_curr = _attack_single_run(
                 logits_fn, labels, y_target, rk, region, n_iter=n_iter,
                 loss="dlr-targeted", eps=eps)
-            fooled = ~acc_curr
-            adv = jnp.where(fooled[:, None], adv_curr, adv)
+            # First success wins; clean point kept for samples that were
+            # never correctly classified (see apgd_attack).
+            newly = (~acc_curr) & acc
+            adv = jnp.where(newly[:, None], adv_curr, adv)
             acc = acc & acc_curr
     mags = G.sq_distance_diag(region.red_ellipse_diag, adv)
     return APGDResult(adv, ~acc, mags)

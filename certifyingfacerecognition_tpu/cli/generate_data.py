@@ -94,9 +94,16 @@ def main(argv=None) -> None:
     else:
         logger.info(f"Sampling {args.num} latent codes randomly.")
         num = args.num
-        codes = rng.standard_normal((num, 512)).astype(np.float32)
+        if space == "wp" and gan_type == "stylegan":
+            # WP codes are per-layer (mod_stylegan_generator.py:153-155).
+            L = stylegan.num_layers(resolution)
+            codes = rng.standard_normal((num, L, 512)).astype(np.float32)
+        else:
+            codes = rng.standard_normal((num, 512)).astype(np.float32)
         if gan_type == "pggan":
             codes = np.asarray(pggan.preprocess_z(jnp.asarray(codes)))
+    if space == "wp" and gan_type == "stylegan":
+        codes = codes.reshape(num, -1, 512)
 
     # ---- jitted synthesis programs ----
     if gan_type == "stylegan":
@@ -121,6 +128,12 @@ def main(argv=None) -> None:
         if gan_type == "pggan":
             img = synth_z(params, batch)
             results.setdefault("z", []).append(np.asarray(batch))
+        elif space == "wp":
+            # WP inputs are final per-layer codes — used directly, NO
+            # truncation (mod_stylegan_generator.py:258-270).
+            wp = batch
+            results.setdefault("wp", []).append(np.asarray(wp))
+            img = synth_wp(params, wp) if args.generate_image else None
         else:
             if space == "z":
                 # Z codes live on the sqrt(512) sphere for BOTH GANs

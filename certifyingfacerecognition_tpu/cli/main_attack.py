@@ -101,18 +101,25 @@ def main(argv=None) -> None:
 
     params = {"gen": gen_params, "frm": frm_params,
               "gallery": pipeline.gallery}
-    num_chunk = args.num_chunk if args.num_chunk is not None else 0
+    # Without --num-chunk the reference evaluates EVERY chunk sequentially
+    # (main_attack.py:221-229); a single chunk index runs just that one.
+    chunks_to_run = ([args.num_chunk] if args.num_chunk is not None
+                     else range(args.chunks))
     dists_fn = make_dists_fn(args.face_recog_method, args.resolution, dtype)
+
+    def run_chunks():
+        for num_chunk in chunks_to_run:
+            log_file = eval_chunk(params, lat_codes, num_chunk, args,
+                                  region=region, dists_fn=dists_fn)
+            log.info(f"Chunk log at {log_file}")
+
     if args.profile_dir:
         from ..utils.profiling import trace
 
         with trace(args.profile_dir):
-            log_file = eval_chunk(params, lat_codes, num_chunk, args,
-                                  region=region, dists_fn=dists_fn)
+            run_chunks()
     else:
-        log_file = eval_chunk(params, lat_codes, num_chunk, args,
-                              region=region, dists_fn=dists_fn)
-    log.info(f"Chunk log at {log_file}")
+        run_chunks()
     log.info(f"Total time: {time() - t0:3.1f}s")
 
 

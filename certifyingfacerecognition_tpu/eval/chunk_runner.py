@@ -180,16 +180,22 @@ def eval_chunk(params: Dict, lat_codes: np.ndarray, num_chunk: int, args,
     if n_succ == 0:
         log.info("Didnt find any adversary! =(")
     else:
-        # Re-verify the adversaries from scratch (gen_utils.py:714-741).
+        # Re-verify the adversaries from scratch (gen_utils.py:714-741),
+        # in attack-sized batches — a single forward over every success
+        # would OOM for large chunks (thousands of 1024^2 syntheses).
         succ_idx = np.nonzero(successes)[0]
-        succ_deltas = jnp.asarray(deltas[succ_idx])
-        succ_lats = jnp.asarray(chunk_lats[succ_idx])
+        succ_deltas = np.asarray(deltas[succ_idx])
+        succ_lats = chunk_lats[succ_idx]
         if args.lin_comb:
-            pert = jnp.dot(succ_deltas, region.dirs.T)
+            pert = succ_deltas @ np.asarray(region.dirs).T
         else:
             pert = succ_deltas
-        dists_adv = dists_fn(params, succ_lats + pert)
-        curr_preds = np.asarray(jnp.argmin(dists_adv, axis=1))
+        adv_lats = succ_lats + pert.astype(np.float32)
+        preds_parts = []
+        for s in range(0, len(adv_lats), bs):
+            d = dists_fn(params, jnp.asarray(adv_lats[s:s + bs]))
+            preds_parts.append(np.asarray(jnp.argmin(d, axis=1)))
+        curr_preds = np.concatenate(preds_parts)
         curr_labels = all_labels[succ_idx]
         where_adv = curr_preds != curr_labels
         if not where_adv.all():
@@ -271,8 +277,10 @@ def eval_files(args, epsilons: Optional[np.ndarray] = None) -> None:
             [artifacts.load_chunk_data(f)["magnitudes"] for f in data_files])
         attr_names = [a for a in ATTRS if a not in set(args.attrs2drop)]
         if epsilons is None:
+            # red_ellipse_diag = scale_factor / eps^2, i.e. the effective
+            # semi-axes are eps / sqrt(scale_factor) — NOT eps * scale.
             epsilons = np.array([ATTRS[a] for a in attr_names]) \
-                * args.scale_factor
+                / np.sqrt(args.scale_factor)
         _, norm_comps = ranking.delta_components(all_deltas, all_mags,
                                                  epsilons)
         failed, order, pvals = ranking.get_ranking(norm_comps, attr_names)

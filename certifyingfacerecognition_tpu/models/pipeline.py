@@ -75,8 +75,12 @@ class FacePipeline:
     def __post_init__(self):
         self.embed_fn = make_lat2embs(self.frs_method, self.resolution,
                                       self.dtype)
-        self._embed_jit = jax.jit(
-            lambda w: self.embed_fn(self.gen_params, self.frm_params, w))
+        # Params as runtime ARGUMENTS — closing over them bakes the full
+        # weight pytree into the HLO as constants (overflows the
+        # remote-compile upload; see make_counts_fn).
+        embed_jit = jax.jit(self.embed_fn)
+        self._embed_jit = lambda w: embed_jit(self.gen_params,
+                                              self.frm_params, w)
 
     # ---- embeddings ----
     def lat2embs(self, w: jnp.ndarray, chunk: int = 0) -> jnp.ndarray:

@@ -44,12 +44,29 @@ def euclidean_exact(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
 
 
+@jax.custom_jvp
+def _safe_sqrt(d2: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with subgradient 0 at 0, matching torch.cdist's backward —
+    jnp.sqrt's gradient at a sample's own gallery entry (distance exactly
+    0, e.g. PGD with random_init=False) is inf/NaN and silently poisons
+    the whole attack."""
+    return jnp.sqrt(d2)
+
+
+@_safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (d2,), (d2_dot,) = primals, tangents
+    d = jnp.sqrt(d2)
+    grad = jnp.where(d2 > 0, 0.5 / jnp.where(d2 > 0, d, 1.0), 0.0)
+    return d, grad * d2_dot
+
+
 def cdist(x: jnp.ndarray, y: jnp.ndarray, method: str = "insightface",
           *, precision=_HI) -> jnp.ndarray:
     """Distance matrix [B, N] with the reference's metric per FRS
     (gen_utils.py:99-105)."""
     if method == "insightface":
-        return jnp.sqrt(sq_euclidean_matmul(x, y, precision=precision))
+        return _safe_sqrt(sq_euclidean_matmul(x, y, precision=precision))
     return 1.0 - jnp.dot(x, y.T, precision=precision)
 
 
@@ -61,19 +78,22 @@ def pairwise_dists(x: jnp.ndarray, y: jnp.ndarray, method: str = "insightface"
     return 1.0 - jnp.sum(x * y, axis=-1)
 
 
-def argmin_dist_refined(x: jnp.ndarray, gallery: jnp.ndarray,
-                        method: str = "insightface", k: int = 8
-                        ) -> jnp.ndarray:
-    """Exact argmin-distance identity prediction [B].
+def nearest_refined(x: jnp.ndarray, gallery: jnp.ndarray,
+                    method: str = "insightface", k: int = 8
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact nearest neighbour: (distance [B], index [B]).
 
     For 'insightface', candidates are pre-selected with the fast matmul
     distance and re-ranked with the exact elementwise distance, so the
     prediction matches the reference's exact-mode cdist argmin even when
-    two gallery entries are close. Cosine distances are exact already.
+    two gallery entries are close (squared distances returned). Cosine
+    distances are exact already. Ties resolve to the lowest index, like
+    torch.argmin.
     """
     if method != "insightface":
         d = cdist(x, gallery, method)
-        return jnp.argmin(d, axis=1)
+        idx = jnp.argmin(d, axis=1)
+        return jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0], idx
     d2 = sq_euclidean_matmul(x, gallery)
     k = min(k, gallery.shape[0])
     _, idx = jax.lax.top_k(-d2, k)                    # [B, k] candidates
@@ -81,7 +101,15 @@ def argmin_dist_refined(x: jnp.ndarray, gallery: jnp.ndarray,
     diff = x[:, None, :] - cand
     d_exact = jnp.sum(diff * diff, axis=-1)            # [B, k]
     best = jnp.argmin(d_exact, axis=1)
-    return jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0]
+    dist = jnp.take_along_axis(d_exact, best[:, None], axis=1)[:, 0]
+    return dist, jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0]
+
+
+def argmin_dist_refined(x: jnp.ndarray, gallery: jnp.ndarray,
+                        method: str = "insightface", k: int = 8
+                        ) -> jnp.ndarray:
+    """Exact argmin-distance identity prediction [B] (see nearest_refined)."""
+    return nearest_refined(x, gallery, method, k)[1]
 
 
 def probs_from_dists(dists: jnp.ndarray, scale_dists: bool = True

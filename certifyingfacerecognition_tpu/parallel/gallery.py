@@ -26,25 +26,9 @@ from .mesh import ID_AXIS
 def local_nearest(x: jnp.ndarray, gallery_shard: jnp.ndarray,
                   method: str = "insightface", k: int = 8
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-shard nearest neighbour: (best_dist [B], local_idx [B]).
-
-    For 'insightface' the candidates are pre-selected with the matmul
-    distance and re-ranked with the exact elementwise distance, preserving
-    the reference's exact-cdist argmin semantics near ties."""
-    if method != "insightface":
-        d = D.cdist(x, gallery_shard, method)
-        idx = jnp.argmin(d, axis=1)
-        return jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0], idx
-    d2 = D.sq_euclidean_matmul(x, gallery_shard)
-    k = min(k, gallery_shard.shape[0])
-    _, cand_idx = jax.lax.top_k(-d2, k)                  # [B, k]
-    cand = gallery_shard[cand_idx]                       # [B, k, 512]
-    diff = x[:, None, :] - cand
-    d_exact = jnp.sum(diff * diff, axis=-1)              # [B, k]
-    best = jnp.argmin(d_exact, axis=1)
-    dist = jnp.take_along_axis(d_exact, best[:, None], axis=1)[:, 0]
-    idx = jnp.take_along_axis(cand_idx, best[:, None], axis=1)[:, 0]
-    return dist, idx
+    """Per-shard exact nearest neighbour: (best_dist [B], local_idx [B]).
+    Shared tie-sensitive candidate logic lives in ops.distances."""
+    return D.nearest_refined(x, gallery_shard, method, k)
 
 
 def sharded_argmin_dist(x: jnp.ndarray, gallery_shard: jnp.ndarray,

@@ -187,3 +187,17 @@ def test_square_attack_finds_adversaries_gradient_free():
     # success flags re-verifiable from the recorded deltas
     preds = np.asarray(jnp.argmax(logits_fn(res.deltas), axis=1))
     assert (preds != np.asarray(labels)).all()
+
+
+def test_pgd_zero_init_has_finite_gradients():
+    """random_init=False starts at delta=0, where each sample's distance to
+    its own gallery row is exactly 0 — sqrt's gradient there must be the
+    torch-cdist subgradient 0, not NaN (regression)."""
+    dists_fn, lats, labels, region = _toy_problem()
+    res = find_adversaries_pgd(dists_fn, lats, labels,
+                               jax.random.PRNGKey(0), region,
+                               opt_name="SGD", lr=100.0, iters=5,
+                               loss_type="xent", restarts=1,
+                               random_init=False)
+    assert np.isfinite(np.asarray(res.best_deltas)).all()
+    assert np.isfinite(np.asarray(res.magnitudes)).all()

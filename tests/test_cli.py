@@ -155,3 +155,28 @@ def test_attack_mesh_sharded_batch(workdir, data_dir):
                       "--mesh"])
     logs = os.listdir(osp.join("exp_results", "atk_mesh", "logs"))
     assert "results_chunk0of1.txt" in logs
+
+
+def test_generate_data_wp_space_no_truncation(workdir):
+    """WP codes are per-layer and bypass truncation (regression: they were
+    re-truncated toward w_avg)."""
+    from certifyingfacerecognition_tpu.models import stylegan
+    from certifyingfacerecognition_tpu.utils import weights as W
+
+    out = osp.join(workdir, "data_wp")
+    generate_data.main(["-m", "stylegan_ffhq", "-o", out, "-n", "2",
+                        "-s", "wp", "--resolution", str(RES),
+                        "--batch-size", "2", "--weights", "random:3"])
+    wp = np.load(osp.join(out, "wp.npy"))
+    L = stylegan.num_layers(RES)
+    assert wp.shape == (2, L, 512)
+    # synthesizing the saved wp directly must reproduce the saved PNGs
+    params = W.load_generator_params("random:3", resolution=RES)
+    import jax.numpy as jnp
+    img = np.asarray(stylegan.postprocess(stylegan.synthesis_apply(
+        params, jnp.asarray(wp), resolution=RES)))
+    from PIL import Image
+
+    png = np.asarray(Image.open(osp.join(out, "ims", "000000.png")))
+    np.testing.assert_allclose(
+        (np.clip(img[0], 0, 1) * 255).astype(np.uint8), png, atol=1)
