@@ -90,15 +90,7 @@ def build_parser() -> argparse.ArgumentParser:
 def load_gallery(args) -> np.ndarray:
     path = args.embs_file or osp.join(
         args.data_dir, f"embs_{args.face_recog_model}.npz")
-    if not osp.isfile(path) and osp.isfile(path[:-4] + ".pth"):
-        path = path[:-4] + ".pth"
-    if path.endswith(".npz"):
-        with np.load(path) as z:
-            embs = z["embs"]
-    else:
-        import torch
-
-        embs = torch.load(path, map_location="cpu").numpy()
+    embs = W.load_embeddings(path)
     return np.asarray(embs[: args.load_n_embs], np.float32)
 
 

@@ -91,6 +91,10 @@ def main(argv=None) -> None:
         logger.info(f"Preparing latent codes from {args.latent_codes_path}")
         codes = np.load(args.latent_codes_path).astype(np.float32)
         num = codes.shape[0]
+        if gan_type == "pggan":
+            # loaded Z codes are preprocessed to the sqrt(512) sphere before
+            # use AND saving, like the reference (generate_data.py:86-87).
+            codes = np.asarray(pggan.preprocess_z(jnp.asarray(codes)))
     else:
         logger.info(f"Sampling {args.num} latent codes randomly.")
         num = args.num
@@ -126,6 +130,8 @@ def main(argv=None) -> None:
     for s in range(0, num, bs):
         batch = jnp.asarray(codes[s:s + bs])
         if gan_type == "pggan":
+            # PGGAN always synthesizes+saves images — the reference's
+            # easy_synthesize ignores generate_image for PGGAN.
             img = synth_z(params, batch)
             results.setdefault("z", []).append(np.asarray(batch))
         elif space == "wp":
@@ -148,12 +154,12 @@ def main(argv=None) -> None:
             results.setdefault("w", []).append(np.asarray(w))
             results.setdefault("wp", []).append(np.asarray(wp))
             img = synth_wp(params, wp) if args.generate_image else None
-        if args.generate_image:
+        if args.generate_image or gan_type == "pggan":
             images.append(np.asarray(img))
         logger.info(f"  synthesized {min(s + bs, num)}/{num}")
 
     # ---- save artifacts (generate_data.py:101-123) ----
-    if args.generate_image:
+    if args.generate_image or gan_type == "pggan":
         from PIL import Image
 
         images = np.concatenate(images)[:num]

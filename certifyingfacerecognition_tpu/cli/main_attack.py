@@ -45,20 +45,8 @@ def get_embs(args, pipeline: FacePipeline, lat_codes: np.ndarray
     embs_file = args.embs_file or osp.join(
         args.data_dir, f"embs_{args.face_recog_method}.npz")
     if args.load_embs:
-        path = embs_file
-        if not osp.isfile(path) and osp.isfile(path[:-4] + ".pth"):
-            path = path[:-4] + ".pth"
-        log.info(f"Loading embeddings from {path}")
-        if path.endswith(".npz"):
-            with np.load(path) as z:
-                embs = z["embs"]
-        elif path.endswith(".pth"):
-            import torch
-
-            embs = torch.load(path, map_location="cpu").numpy()
-        else:
-            embs = np.load(path)
-        embs = embs[: args.load_n_embs]
+        log.info(f"Loading embeddings from {embs_file}")
+        embs = W.load_embeddings(embs_file)[: args.load_n_embs]
     else:
         log.info(f"Computing embeddings for {len(lat_codes)} identities")
         t0 = time()
@@ -112,6 +100,10 @@ def main(argv=None) -> None:
             log_file = eval_chunk(params, lat_codes, num_chunk, args,
                                   region=region, dists_fn=dists_fn)
             log.info(f"Chunk log at {log_file}")
+        if args.num_chunk is None:
+            # All-chunks mode aggregates at the end, like the reference
+            # (main_attack.py:221-228).
+            eval_files(args)
 
     if args.profile_dir:
         from ..utils.profiling import trace

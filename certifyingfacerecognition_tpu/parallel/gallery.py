@@ -14,21 +14,13 @@ smoothing.smooth.make_counts_fn(param_specs=...) for the outer plumbing.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import distances as D
 from .mesh import ID_AXIS
-
-
-def local_nearest(x: jnp.ndarray, gallery_shard: jnp.ndarray,
-                  method: str = "insightface", k: int = 8
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-shard exact nearest neighbour: (best_dist [B], local_idx [B]).
-    Shared tie-sensitive candidate logic lives in ops.distances."""
-    return D.nearest_refined(x, gallery_shard, method, k)
 
 
 def sharded_argmin_dist(x: jnp.ndarray, gallery_shard: jnp.ndarray,
@@ -39,7 +31,7 @@ def sharded_argmin_dist(x: jnp.ndarray, gallery_shard: jnp.ndarray,
     Must run inside shard_map. Returns global indices [B]."""
     shard_size = gallery_shard.shape[0]
     my = jax.lax.axis_index(axis_name)
-    dist, local_idx = local_nearest(x, gallery_shard, method, k)
+    dist, local_idx = D.nearest_refined(x, gallery_shard, method, k)
     global_idx = local_idx + my * shard_size
     all_dist = jax.lax.all_gather(dist, axis_name)       # [n_id, B]
     all_idx = jax.lax.all_gather(global_idx, axis_name)  # [n_id, B]

@@ -53,14 +53,28 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class _PhaseHandle:
+    """Collects the value to synchronise on from INSIDE the timed block —
+    a ``sync=`` keyword would be evaluated before the block runs and could
+    only ever point at a previous iteration's (already materialised)
+    result."""
+
+    def __init__(self):
+        self.value = None
+
+    def sync(self, x):
+        self.value = x
+        return x
+
+
 class PhaseTimer:
     """Accumulating wall-clock phase timers.
 
     Usage::
 
         timer = PhaseTimer()
-        with timer.phase("synthesis", sync=img):
-            img = synth(w)
+        with timer.phase("synthesis") as ph:
+            img = ph.sync(synth(w))     # barrier on THIS block's result
         logger.info(timer.report())
     """
 
@@ -69,12 +83,13 @@ class PhaseTimer:
         self.counts: Dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
-    def phase(self, name: str, sync=None):
+    def phase(self, name: str):
+        handle = _PhaseHandle()
         t0 = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
-            device_sync(sync)
+            device_sync(handle.value)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 

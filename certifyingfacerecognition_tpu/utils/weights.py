@@ -80,12 +80,39 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             for k, v in sd.items()}
 
 
-def _cached_convert(path: str, convert) -> Dict:
+def load_embeddings(path: str) -> np.ndarray:
+    """Load a gallery-embedding array: native .npz (key 'embs'), the
+    reference's torch-pickle .pth, or a bare .npy. If the exact path is
+    missing, the sibling file with the other extension is probed."""
+    base, ext = osp.splitext(path)
+    if not osp.isfile(path):
+        for alt in (".npz", ".pth", ".npy"):
+            if alt != ext and osp.isfile(base + alt):
+                path, ext = base + alt, alt
+                break
+    if ext == ".npz":
+        with np.load(path) as z:
+            return np.asarray(z["embs"])
+    if ext in (".pth", ".pt"):
+        import torch
+
+        return torch.load(path, map_location="cpu").numpy()
+    return np.load(path)
+
+
+def _cached_convert(path: str, convert, key: str = "") -> Dict:
     """Load ``path`` (.npz native, or .pth/.pt via ``convert``); torch
-    checkpoints are converted once and cached next to the original."""
+    checkpoints are converted once and cached next to the original.
+
+    The cache name embeds ``key`` (e.g. the target resolution) and the
+    source file's mtime: a resolution-blind cache would hand a later run
+    at a different --resolution a wrong-shaped pytree, and an in-place
+    checkpoint update would silently keep winning."""
     if path.endswith(".npz"):
         return load_params(path)
-    cache = path + ".cfr.npz"
+    mtime = int(os.path.getmtime(path))
+    suffix = f"-{key}" if key else ""
+    cache = f"{path}.cfr{suffix}-{mtime}.npz"
     if osp.isfile(cache):
         return load_params(cache)
     params = convert(load_torch_state_dict(path))
@@ -111,7 +138,8 @@ def load_generator_params(spec: str, model_name: str = "stylegan_ffhq",
             resolution) if mod is pggan else mod.random_params(
                 resolution, seed=seed)
     return _cached_convert(
-        spec, lambda sd: mod.convert_torch_state_dict(sd, resolution))
+        spec, lambda sd: mod.convert_torch_state_dict(sd, resolution),
+        key=f"r{resolution}")
 
 
 def load_frm_params(spec: str, frs_method: str = "insightface",
@@ -125,10 +153,12 @@ def load_frm_params(spec: str, frs_method: str = "insightface",
                 seed = int(spec.split(":", 1)[1])
             return iresnet.convert_torch_state_dict(
                 iresnet.random_torch_style_state_dict("iresnet50", seed=seed))
-        return _cached_convert(spec, iresnet.convert_torch_state_dict)
+        return _cached_convert(spec, iresnet.convert_torch_state_dict,
+                               key="iresnet50")
     if spec.startswith("random"):
         if ":" in spec:
             seed = int(spec.split(":", 1)[1])
         return facenet.convert_torch_state_dict(
             facenet.random_torch_style_state_dict(seed=seed))
-    return _cached_convert(spec, facenet.convert_torch_state_dict)
+    return _cached_convert(spec, facenet.convert_torch_state_dict,
+                           key="facenet")

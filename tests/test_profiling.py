@@ -24,10 +24,11 @@ def test_phase_timer_accumulates_and_reports():
     assert not t.totals
 
 
-def test_phase_timer_sync_pulls_device_value():
+def test_phase_timer_sync_pulls_block_result():
     t = P.PhaseTimer()
-    with t.phase("compute", sync=jnp.arange(4).sum()):
-        pass
+    with t.phase("compute") as ph:
+        r = ph.sync(jnp.arange(4).sum())
+    assert int(r) == 6
     assert t.counts["compute"] == 1
 
 

@@ -51,8 +51,10 @@ def test_torch_checkpoint_ingestion_and_cache(tmp_path):
     x = jnp.asarray(rng.standard_normal((1, 112, 112, 3)), jnp.float32)
     np.testing.assert_allclose(np.asarray(iresnet.apply(params, x)),
                                np.asarray(iresnet.apply(want, x)), atol=1e-5)
-    # conversion cached next to the checkpoint; second load skips torch
-    assert osp.isfile(pth + ".cfr.npz")
+    # conversion cached next to the checkpoint (keyed by model + source
+    # mtime); second load skips torch
+    import glob
+    assert glob.glob(pth + ".cfr-iresnet50-*.npz")
     again = W.load_frm_params(pth, "insightface")
     np.testing.assert_allclose(np.asarray(iresnet.apply(again, x)),
                                np.asarray(iresnet.apply(want, x)), atol=1e-5)
