@@ -55,11 +55,13 @@ def run_attack(
                          n_target_classes=n_target_classes)
         return AttackResult(r.deltas, r.success, r.magnitudes)
     if attack_type in ("apgd-ce", "apgd-dlr"):
-        # The reference routes all apgd variants through apgd-targeted
-        # parameters (gen_utils.py:286-291) but runs the requested attack.
+        # The reference only configures apgd_targeted from the CLI; the
+        # untargeted APGD keeps its internal defaults n_iter=100,
+        # n_restarts=1 (gen_utils.py:286-291 — the apgd.* lines are
+        # commented out; autopgd_base.py defaults).
         r = apgd_attack(logits_fn, labels, key, region,
-                        loss=attack_type.split("-")[1], n_iter=iters,
-                        n_restarts=restarts)
+                        loss=attack_type.split("-")[1], n_iter=100,
+                        n_restarts=1)
         return AttackResult(r.deltas, r.success, r.magnitudes)
     if attack_type == "apgd-t":
         r = apgd_targeted_attack(logits_fn, labels, key, region,
@@ -94,8 +96,10 @@ def find_adversaries_autoattack(
     n_target_classes: int = 5,
 ) -> AttackResult:
     """Equivalent of gen_utils.py:259-316: run the AutoAttack-family attack,
-    re-verify predictions on the final deltas, and report Sigma-magnitudes
-    (validity-checked for the bounded attacks, not for min-norm FAB)."""
+    re-verify predictions on the final deltas, and report Sigma-magnitudes.
+    Host-side feasibility assertions for the bounded attacks live in
+    eval_chunk (check_deltas semantics of gen_utils.py:316-331 — a traced
+    value cannot be asserted inside this jittable function)."""
     hi = jax.lax.Precision.HIGHEST
 
     def logits_fn(deltas):

@@ -45,7 +45,9 @@ def make_optimizer(opt_name: str, lr: float, momentum: float = 0.9):
     if opt_name == "Adam":
         return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     if opt_name == "RMSProp":
-        return optax.rmsprop(lr, decay=0.99, eps=1e-8)
+        # torch.optim.RMSprop adds eps OUTSIDE the sqrt (grad/(sqrt(nu)+eps));
+        # optax's default puts it inside, which diverges when nu is small.
+        return optax.rmsprop(lr, decay=0.99, eps=1e-8, eps_in_sqrt=False)
     raise ValueError(f"unknown optimizer {opt_name}")
 
 

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import EMB_SIZE
-from ..eval.chunk_runner import eval_chunk, eval_files, make_dists_fn
+from ..eval.chunk_runner import (_make_attack_step, eval_chunk,
+                                 eval_files, make_dists_fn,
+                                 make_predict_fn)
 from ..models.pipeline import FacePipeline
 from ..ops import geometry as G
 from ..utils import weights as W
@@ -94,11 +96,18 @@ def main(argv=None) -> None:
     chunks_to_run = ([args.num_chunk] if args.num_chunk is not None
                      else range(args.chunks))
     dists_fn = make_dists_fn(args.face_recog_method, args.resolution, dtype)
+    # Build the jitted programs ONCE — per-chunk jit wrappers would
+    # recompile the full attack graph for every chunk.
+    attack_step = _make_attack_step(dists_fn, region, args)
+    predict_fn = make_predict_fn(args.face_recog_method, args.resolution,
+                                 dtype)
 
     def run_chunks():
         for num_chunk in chunks_to_run:
             log_file = eval_chunk(params, lat_codes, num_chunk, args,
-                                  region=region, dists_fn=dists_fn)
+                                  region=region, dists_fn=dists_fn,
+                                  attack_step=attack_step,
+                                  predict_fn=predict_fn)
             log.info(f"Chunk log at {log_file}")
         if args.num_chunk is None:
             # All-chunks mode aggregates at the end, like the reference

@@ -55,6 +55,23 @@ def make_dists_fn(frs_method: str, resolution: int, dtype=jnp.float32,
     return jax.checkpoint(dists) if remat else dists
 
 
+def make_predict_fn(frs_method: str, resolution: int, dtype=jnp.float32
+                    ) -> Callable:
+    """Jitted exact identity prediction predict(params, w) -> [B] ints.
+
+    Decisions use the exact-refined argmin (donot_use_mm-grade parity,
+    ops.distances.nearest_refined) — the matmul-expansion argmin can flip
+    near ties, exactly where adversaries land."""
+    embed = make_lat2embs(frs_method, resolution, dtype=dtype)
+
+    @jax.jit
+    def predict(params, w):
+        embs = embed(params["gen"], params["frm"], w).astype(jnp.float32)
+        return D.argmin_dist_refined(embs, params["gallery"], frs_method)
+
+    return predict
+
+
 def _make_attack_step(dists_fn: Callable, region: G.RegionMatrices, args
                       ) -> Callable:
     """One jitted attack program over a batch of identities; with
@@ -99,17 +116,26 @@ def _make_attack_step(dists_fn: Callable, region: G.RegionMatrices, args
 
 def eval_chunk(params: Dict, lat_codes: np.ndarray, num_chunk: int, args,
                region: Optional[G.RegionMatrices] = None,
-               dists_fn: Optional[Callable] = None) -> str:
+               dists_fn: Optional[Callable] = None,
+               attack_step: Optional[Callable] = None,
+               predict_fn: Optional[Callable] = None) -> str:
     """Attack one chunk of identities; writes log + data artifacts and
-    returns the log-file path (gen_utils.py:634-752)."""
+    returns the log-file path (gen_utils.py:634-752).
+
+    Pass ``attack_step``/``predict_fn`` when running many chunks — a fresh
+    jit wrapper per chunk would recompile the full attack program (minutes
+    on TPU) for identical shapes."""
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     if region is None:
         region = G.get_all_matrices(args.attrs2drop,
                                     scale_factor=args.scale_factor,
                                     boundaries_dir=args.boundaries_dir)
     if dists_fn is None:
-        dists_fn = make_dists_fn(
-            args.face_recog_method, args.resolution,
-            jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
+        dists_fn = make_dists_fn(args.face_recog_method, args.resolution,
+                                 dtype)
+    if predict_fn is None:
+        predict_fn = make_predict_fn(args.face_recog_method, args.resolution,
+                                     dtype)
 
     start_time = time()
     log = args.LOGGER
@@ -125,7 +151,8 @@ def eval_chunk(params: Dict, lat_codes: np.ndarray, num_chunk: int, args,
     start = num_chunk * chunk_length
     chunk_lats = np.asarray(lat_codes[start:start + chunk_length], np.float32)
 
-    attack_step = _make_attack_step(dists_fn, region, args)
+    if attack_step is None:
+        attack_step = _make_attack_step(dists_fn, region, args)
     base_key = jax.random.PRNGKey(args.seed)
 
     if getattr(args, "run_checks", False):
@@ -136,6 +163,7 @@ def eval_chunk(params: Dict, lat_codes: np.ndarray, num_chunk: int, args,
         first = jnp.asarray(chunk_lats[:bs])
         labels0 = jnp.arange(start, start + first.shape[0])
 
+        @jax.jit
         def logits0(p):
             pert = jnp.dot(p, region.dirs.T)
             return -dists_fn(params, first + pert)
@@ -144,8 +172,8 @@ def eval_chunk(params: Dict, lat_codes: np.ndarray, num_chunk: int, args,
 
         zeros = jnp.zeros((first.shape[0], region.dirs.shape[1]),
                           jnp.float32)
-        grad_fn = jax.grad(lambda p: compute_loss(-logits0(p), labels0,
-                                                  loss_type="xent"))
+        grad_fn = jax.jit(jax.grad(lambda p: compute_loss(
+            -logits0(p), labels0, loss_type="xent")))
         run_all_checks(logits0, zeros, labels0, grad_fn=grad_fn, logger=log)
 
     deltas, successes, magnitudes, all_labels = [], [], [], []
@@ -176,25 +204,42 @@ def eval_chunk(params: Dict, lat_codes: np.ndarray, num_chunk: int, args,
     log.info(f"Finished chunk computation. Time={time() - start_time:3.2f}s")
 
     n_succ = int(successes.sum())
+    lin_comb = args.lin_comb or args.attack_type != "manual"
+    if n_succ and args.attack_type not in ("fab-t", "fab"):
+        # Host-side feasibility check for the bounded attacks (check_deltas
+        # with check=True, gen_utils.py:316-331); FAB is minimum-norm and
+        # may legitimately exceed the budget.
+        from ..attacks.pgd import assert_deltas_feasible
+
+        assert_deltas_feasible(jnp.asarray(deltas[successes]), region,
+                               lin_comb=lin_comb)
+
     avg_pert = 0.0
     if n_succ == 0:
         log.info("Didnt find any adversary! =(")
     else:
-        # Re-verify the adversaries from scratch (gen_utils.py:714-741),
-        # in attack-sized batches — a single forward over every success
-        # would OOM for large chunks (thousands of 1024^2 syntheses).
+        # Re-verify the adversaries from scratch (gen_utils.py:714-741) in
+        # attack-sized batches (one forward over every success would OOM
+        # for large chunks), padded to a fixed batch so the jitted exact
+        # predictor compiles once.
         succ_idx = np.nonzero(successes)[0]
         succ_deltas = np.asarray(deltas[succ_idx])
         succ_lats = chunk_lats[succ_idx]
-        if args.lin_comb:
+        if lin_comb:
             pert = succ_deltas @ np.asarray(region.dirs).T
         else:
             pert = succ_deltas
         adv_lats = succ_lats + pert.astype(np.float32)
         preds_parts = []
         for s in range(0, len(adv_lats), bs):
-            d = dists_fn(params, jnp.asarray(adv_lats[s:s + bs]))
-            preds_parts.append(np.asarray(jnp.argmin(d, axis=1)))
+            batch_lats = adv_lats[s:s + bs]
+            n_valid = len(batch_lats)
+            if n_valid < bs:
+                batch_lats = np.concatenate(
+                    [batch_lats, np.zeros((bs - n_valid, batch_lats.shape[1]),
+                                          np.float32)])
+            p = predict_fn(params, jnp.asarray(batch_lats))
+            preds_parts.append(np.asarray(p)[:n_valid])
         curr_preds = np.concatenate(preds_parts)
         curr_labels = all_labels[succ_idx]
         where_adv = curr_preds != curr_labels
@@ -239,7 +284,8 @@ def _plot_advs(params, chunk_lats, deltas, successes, all_labels, adv_preds,
     adv_preds = adv_preds[:max_figs]
     lats = jnp.asarray(chunk_lats[succ_idx])
     d = jnp.asarray(deltas[succ_idx])
-    pert = jnp.dot(d, region.dirs.T) if args.lin_comb else d
+    lin_comb = args.lin_comb or args.attack_type != "manual"
+    pert = jnp.dot(d, region.dirs.T) if lin_comb else d
     conf_lats = jnp.asarray(np.asarray(lat_codes)[adv_preds], jnp.float32)
 
     synth = jax.jit(lambda gp, w: stylegan.synthesize_from_w(
@@ -268,13 +314,25 @@ def eval_files(args, epsilons: Optional[np.ndarray] = None) -> None:
         f"Total. Successes: {agg['successes']} -- "
         f"Instances: {agg['instances']} -- Rate: {agg['rate']:.2f}% -- "
         f"Avg.Mag.: {agg['avg_mag']:.4f}")
-    lines = [f"rate:{agg['rate']}", f"avg_mag:{agg['avg_mag']}"]
+    # results.txt schema matches gen_utils.py:545-549 field-for-field.
+    lines = [f"successes:{agg['successes']}",
+             f"instances:{agg['instances']}",
+             f"rate:{agg['rate']:4.2f}",
+             f"avg_mag:{agg['avg_mag']:4.2f}"]
 
     if data_files:
         all_deltas = np.concatenate(
             [artifacts.load_chunk_data(f)["deltas"] for f in data_files])
         all_mags = np.concatenate(
             [artifacts.load_chunk_data(f)["magnitudes"] for f in data_files])
+        # Zero-magnitude "successes" (initially-misclassified samples keep
+        # the clean delta) carry no attribute signal and would NaN the
+        # normalised components.
+        nz = all_mags > 1e-12
+        if not nz.all():
+            args.LOGGER.info(f"Dropping {int((~nz).sum())} zero-magnitude "
+                             "deltas from the ranking")
+        all_deltas, all_mags = all_deltas[nz], all_mags[nz]
         attr_names = [a for a in ATTRS if a not in set(args.attrs2drop)]
         if epsilons is None:
             # red_ellipse_diag = scale_factor / eps^2, i.e. the effective
@@ -290,9 +348,10 @@ def eval_files(args, epsilons: Optional[np.ndarray] = None) -> None:
             lines.append("importance-order:failed")
         else:
             args.LOGGER.info(f"Importance ranking: {order} (pvals {pvals})")
-            lines.append("importance-order:" + ",".join(order))
+            # '>'-joined order and {:3.2E} pvals (gen_utils.py:569-577).
+            lines.append("importance-order:" + ">".join(order))
             lines.append("order-pvals:" +
-                         ",".join(f"{p:.3e}" for p in pvals))
+                         ">".join(f"{p:3.2E}" for p in pvals))
         _plot_acc_vs_budget(all_mags, agg["instances"], args)
 
     from ..utils.logger import print_to_log
@@ -303,17 +362,20 @@ def eval_files(args, epsilons: Optional[np.ndarray] = None) -> None:
 
 def _plot_acc_vs_budget(magnitudes: np.ndarray, tot_instances: int, args
                         ) -> None:
-    lins, err = ranking.accuracy_vs_budget(magnitudes, tot_instances)
+    # accuracy_vs_budget already returns the reference's accuracy curve
+    # (#{||delta|| > t}/instances, non-increasing in t — gen_utils.py:
+    # 586-597); plotting its complement inverts the robustness conclusion.
+    lins, acc = ranking.accuracy_vs_budget(magnitudes, tot_instances)
     try:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
     except ImportError:
         np.savez(osp.join(args.figs_dir, "acc_vs_pert.npz"),
-                 budget=lins, accuracy=1.0 - err)
+                 budget=lins, accuracy=acc)
         return
     fig, ax = plt.subplots()
-    ax.plot(lins, 100.0 * (1.0 - err))
+    ax.plot(lins, 100.0 * acc)
     ax.set_xlabel(r"Perturbation budget ($\Sigma$-norm)")
     ax.set_ylabel("Accuracy [%]")
     ax.grid(True, alpha=0.3)
