@@ -16,6 +16,7 @@ marks it intractable (gen_utils.py:283); requesting it raises.
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, NamedTuple, Sequence
 
 import jax
@@ -28,6 +29,19 @@ from .pgd import check_deltas
 from .square import square_attack
 
 SUPPORTED = ("fab-t", "apgd-ce", "apgd-dlr", "apgd-t", "square")
+
+# set_version presets (autoattack.py:284-316) for the Lsigma2 norm, which
+# the reference routes through the Linf/L2 branch: standard = 4 attacks,
+# apgd 1 restart, 9 target classes, square budget 5000. 'rand' drops to the
+# two APGD variants (its eot_iter=20 exists for *randomized* defenses; every
+# model here is deterministic and frozen, so EOT degenerates to eot_iter=1
+# and is intentionally not replicated). 'plus' includes untargeted FAB,
+# which the reference itself marks intractable at gallery scale
+# (gen_utils.py:283) — requesting it raises, like run_attack('fab').
+VERSION_PRESETS = {
+    "standard": ("apgd-ce", "apgd-t", "fab-t", "square"),
+    "rand": ("apgd-ce", "apgd-dlr"),
+}
 
 
 class AttackResult(NamedTuple):
@@ -46,6 +60,7 @@ def run_attack(
     iters: int = 5,
     restarts: int = 5,
     n_target_classes: int = 5,
+    apgd_use_cli_iters: bool = False,
 ) -> AttackResult:
     """Dispatch one attack in delta space (adversary config of
     gen_utils.py:273-291)."""
@@ -58,10 +73,23 @@ def run_attack(
         # The reference only configures apgd_targeted from the CLI; the
         # untargeted APGD keeps its internal defaults n_iter=100,
         # n_restarts=1 (gen_utils.py:286-291 — the apgd.* lines are
-        # commented out; autopgd_base.py defaults).
+        # commented out; autopgd_base.py defaults). By default we mirror
+        # that (and warn loudly if the CLI values differ); pass
+        # apgd_use_cli_iters=True (--apgd-use-cli-iters) to honor them.
+        n_iter, n_restarts = (iters, restarts) if apgd_use_cli_iters \
+            else (100, 1)
+        if not apgd_use_cli_iters and (iters, restarts) != (100, 1):
+            warnings.warn(
+                f"{attack_type}: --iters/--restarts ({iters}/{restarts}) are "
+                "IGNORED for reference parity — the reference only wires "
+                "apgd_targeted to the CLI, so untargeted APGD runs its "
+                "internal defaults 100 iters x 1 restart "
+                "(autopgd_base.py defaults, gen_utils.py:286-291). Pass "
+                "--apgd-use-cli-iters to honor the CLI values instead.",
+                stacklevel=2)
         r = apgd_attack(logits_fn, labels, key, region,
-                        loss=attack_type.split("-")[1], n_iter=100,
-                        n_restarts=1)
+                        loss=attack_type.split("-")[1], n_iter=n_iter,
+                        n_restarts=n_restarts)
         return AttackResult(r.deltas, r.success, r.magnitudes)
     if attack_type == "apgd-t":
         r = apgd_targeted_attack(logits_fn, labels, key, region,
@@ -83,6 +111,201 @@ def run_attack(
     raise ValueError(f"unknown attack {attack_type}")
 
 
+class StandardEvalResult(NamedTuple):
+    deltas: jnp.ndarray        # [B, k] first successful adversary (or clean 0)
+    y_adv: jnp.ndarray         # [B] prediction at the recorded delta
+    success: jnp.ndarray       # [B] bool — sample broken by SOME attack
+    magnitudes: jnp.ndarray    # [B] squared Sigma-norm of recorded deltas
+    robust_accuracy: dict      # {'clean': acc, '<attack>': acc, ...} in order
+
+
+def _dispatch_preset(name: str, logits_fn, labels, key, region,
+                     n_target: int, square_queries: int,
+                     preset_iters: int = 100):
+    """One attack with its set_version('standard'/'rand') parameters
+    (autoattack.py:288-300 + ctor defaults :32-60). preset_iters scales
+    the per-attack iteration budget down from the reference's 100 for
+    smoke runs/tests."""
+    if name in ("apgd-ce", "apgd-dlr"):
+        return apgd_attack(logits_fn, labels, key, region,
+                           loss=name.split("-")[1], n_iter=preset_iters,
+                           n_restarts=1)
+    if name == "apgd-t":
+        return apgd_targeted_attack(logits_fn, labels, key, region,
+                                    n_iter=preset_iters, n_restarts=1,
+                                    n_target_classes=n_target)
+    if name == "fab-t":
+        return fab_targeted(logits_fn, labels, key, region,
+                            n_iter=preset_iters,
+                            n_restarts=1, n_target_classes=n_target)
+    if name == "square":
+        return square_attack(logits_fn, labels, key, region,
+                             n_iter=square_queries, n_restarts=1)
+    raise ValueError(f"unsupported attack {name!r}")
+
+
+def run_standard_evaluation(
+    logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    labels: jnp.ndarray,
+    key: jax.Array,
+    region: G.RegionMatrices,
+    *,
+    attacks_to_run: Sequence[str] | None = None,
+    version: str = "standard",
+    n_delta_dims: int = 5,
+    square_queries: int = 5000,
+    preset_iters: int = 100,
+    logger=None,
+    run_checks: bool = False,
+    _attack_fns: dict | None = None,
+    _predict_fn: Callable | None = None,
+) -> StandardEvalResult:
+    """Sequential multi-attack evaluation with robust-flag accumulation —
+    the reference's ``AutoAttack.run_standard_evaluation``
+    (autoattack/autoattack.py:93-238): a clean-accuracy pass first, then
+    each attack in order, demoting samples it breaks; per-attack robust
+    accuracy and timing are reported, and the first successful adversary
+    per sample is kept.
+
+    TPU-first deviation (results-identical): the reference host-gathers the
+    still-robust subset before each attack to save compute; with XLA's
+    static shapes that would force a recompile per surviving-count, so each
+    attack runs over the FULL batch and already-broken samples are simply
+    masked out of the bookkeeping. One fixed program per attack, no
+    retraces across batches/chunks.
+    """
+    import time
+
+    def _log(msg):
+        if logger is not None:
+            logger.info(msg)
+
+    if attacks_to_run is None:
+        if version not in VERSION_PRESETS:
+            raise ValueError(
+                f"unknown AutoAttack version {version!r}; known: "
+                f"{sorted(VERSION_PRESETS)} ('plus' includes untargeted FAB "
+                "— intractable at gallery scale, gen_utils.py:283)")
+        attacks_to_run = VERSION_PRESETS[version]
+    for a in attacks_to_run:
+        if a not in SUPPORTED:
+            raise ValueError(f"unsupported attack {a!r} (supported: "
+                             f"{SUPPORTED})")
+
+    B = labels.shape[0]
+    zeros = jnp.zeros((B, n_delta_dims), jnp.float32)
+
+    n_target = 9
+    if _attack_fns is None:
+        # Standard preset's 9 target classes, clipped to the gallery size.
+        n_target = min(9, logits_fn(zeros).shape[1] - 1)
+
+    if run_checks:
+        from . import checks
+        if version != "rand":
+            checks.check_randomized(logits_fn, zeros, labels, logger=logger)
+        checks.check_range_output(logits_fn, zeros, logger=logger)
+
+    if _predict_fn is None:
+        _predict_fn = lambda d: jnp.argmax(logits_fn(d), axis=1)  # noqa: E731
+
+    clean_pred = _predict_fn(zeros)
+    robust = clean_pred == labels
+    y_adv = clean_pred
+    deltas = zeros
+    acc = {"clean": float(jnp.mean(robust))}
+    _log(f"initial accuracy: {acc['clean']:.2%}")
+
+    start = time.time()
+    for name in attacks_to_run:
+        if not bool(robust.any()):
+            break
+        key, sub = jax.random.split(key)
+        if _attack_fns is not None:
+            adv_deltas = _attack_fns[name](labels, sub)
+        else:
+            adv_deltas = _dispatch_preset(name, logits_fn, labels, sub,
+                                          region, n_target, square_queries,
+                                          preset_iters).deltas
+        pred = _predict_fn(adv_deltas)
+        newly = robust & (pred != labels)
+        deltas = jnp.where(newly[:, None], adv_deltas, deltas)
+        y_adv = jnp.where(newly, pred, y_adv)
+        robust = robust & ~newly
+        acc[name] = float(jnp.mean(robust))
+        _log(f"robust accuracy after {name.upper()}: {acc[name]:.2%} "
+             f"(total time {time.time() - start:.1f} s)")
+
+    if run_checks:
+        from . import checks
+        checks.check_square_sr(acc, logger=logger)
+
+    magnitudes = G.sq_distance_diag(region.red_ellipse_diag, deltas)
+    _log(f"max Lsigma2 perturbation: {float(jnp.sqrt(magnitudes.max())):.5f}")
+    _log(f"robust accuracy: {min(acc.values()):.2%}")
+    return StandardEvalResult(deltas, y_adv, ~robust, magnitudes, acc)
+
+
+def make_standard_evaluation(
+    dists_fn: Callable[[dict, jnp.ndarray], jnp.ndarray],
+    region: G.RegionMatrices,
+    *,
+    version: str = "standard",
+    n_delta_dims: int = 5,
+    square_queries: int = 5000,
+    preset_iters: int = 100,
+    logger=None,
+    run_checks: bool = False,
+) -> Callable:
+    """Build a retrace-free sequential evaluator for chunked runs.
+
+    Returns run(params, lats, labels, key) -> StandardEvalResult. Each
+    attack and the verification predict are jitted ONCE with
+    (params, lats) threaded as arguments (never closed over — closure
+    constants bake weights into the HLO), so successive batches/chunks hit
+    the jit cache instead of retracing 100-iteration attack programs.
+    """
+    from functools import partial
+
+    if version not in VERSION_PRESETS:
+        raise ValueError(
+            f"unknown AutoAttack version {version!r}; known: "
+            f"{sorted(VERSION_PRESETS)}")
+    attacks = VERSION_PRESETS[version]
+    hi = jax.lax.Precision.HIGHEST
+
+    def logits(params, lats, deltas):
+        pert = jnp.dot(deltas, region.dirs.T, precision=hi)
+        return -dists_fn(params, lats + pert)
+
+    predict = jax.jit(
+        lambda params, lats, d: jnp.argmax(logits(params, lats, d), axis=1))
+
+    def attack_fn(params, lats, labels, key, *, _name):
+        probe = logits(params, lats,
+                       jnp.zeros((labels.shape[0], n_delta_dims),
+                                 jnp.float32))
+        n_target = min(9, probe.shape[1] - 1)  # static; probe is DCE'd
+        return _dispatch_preset(_name, lambda d: logits(params, lats, d),
+                                labels, key, region, n_target,
+                                square_queries, preset_iters).deltas
+
+    jitted = {name: jax.jit(partial(attack_fn, _name=name))
+              for name in attacks}
+
+    def run(params, lats, labels, key):
+        return run_standard_evaluation(
+            lambda d: logits(params, lats, d), labels, key, region,
+            attacks_to_run=attacks, version=version,
+            n_delta_dims=n_delta_dims, square_queries=square_queries,
+            preset_iters=preset_iters, logger=logger, run_checks=run_checks,
+            _attack_fns={name: partial(jitted[name], params, lats)
+                         for name in attacks},
+            _predict_fn=partial(predict, params, lats))
+
+    return run
+
+
 def find_adversaries_autoattack(
     dists_fn: Callable[[jnp.ndarray], jnp.ndarray],
     lat_codes: jnp.ndarray,
@@ -94,6 +317,7 @@ def find_adversaries_autoattack(
     iters: int = 5,
     restarts: int = 5,
     n_target_classes: int = 5,
+    apgd_use_cli_iters: bool = False,
 ) -> AttackResult:
     """Equivalent of gen_utils.py:259-316: run the AutoAttack-family attack,
     re-verify predictions on the final deltas, and report Sigma-magnitudes.
@@ -108,7 +332,8 @@ def find_adversaries_autoattack(
 
     res = run_attack(logits_fn, labels, key, region, attack_type,
                      iters=iters, restarts=restarts,
-                     n_target_classes=n_target_classes)
+                     n_target_classes=n_target_classes,
+                     apgd_use_cli_iters=apgd_use_cli_iters)
 
     # Re-verify like the reference does after run_standard_evaluation.
     preds = jnp.argmax(logits_fn(res.deltas), axis=1)

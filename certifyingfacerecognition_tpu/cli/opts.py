@@ -100,9 +100,29 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh", action="store_true", default=False,
                         help="Shard the attack batch over all local devices "
                              "(batch-size must divide the device count)")
+    parser.add_argument("--autoattack-iters", type=int, default=100,
+                        help="Per-attack iteration budget inside "
+                             "--attack-type autoattack (set_version "
+                             "default 100); lower for smoke runs")
+    parser.add_argument("--square-queries", type=int, default=5000,
+                        help="Square query budget inside --attack-type "
+                             "autoattack (set_version default 5000)")
+    parser.add_argument("--apgd-use-cli-iters", action="store_true",
+                        default=False,
+                        help="Honor --iters/--restarts for apgd-ce/apgd-dlr "
+                             "(by default they run the reference's effective "
+                             "100x1 and a warning is logged)")
     parser.add_argument("--run-checks", action="store_true", default=False,
                         help="Run defense sanity checks before attacking "
                              "(autoattack checks.py equivalents)")
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="Initialise jax.distributed before building "
+                             "meshes (one process per pod host); composes "
+                             "with --mesh for DCN-spanning data parallelism")
+    parser.add_argument("--coordinator-address", type=str, default=None,
+                        help="host:port of process 0 (only needed off-TPU)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler device trace of the "
                              "chunk into this directory")

@@ -33,7 +33,12 @@ EMB_SIZE = 512
 
 LOSS_TYPES = ["away", "nearest", "diff", "xent", "dlr"]
 OPTIMS = ["Adam", "SGD", "RMSProp"]
-ATTACKS = ["fab-t", "fab", "apgd-ce", "apgd-dlr", "apgd-t", "manual", "square"]
+ATTACKS = ["fab-t", "fab", "apgd-ce", "apgd-dlr", "apgd-t", "manual",
+           "square",
+           # TPU-framework additions: the reference's full sequential
+           # run_standard_evaluation (autoattack.py:93-238) with the
+           # 'standard' / 'rand' set_version presets (:284-316).
+           "autoattack", "autoattack-rand"]
 
 LAT_SPACE = "w"
 DATASET = "ffhq"

@@ -79,6 +79,46 @@ def _make_attack_step(dists_fn: Callable, region: G.RegionMatrices, args
     parallelism — the attacks are per-sample optimisations, so XLA
     partitions them with no cross-sample collectives)."""
 
+    if args.attack_type in ("autoattack", "autoattack-rand"):
+        # Sequential multi-attack evaluation (run_standard_evaluation,
+        # autoattack/autoattack.py:93-238): host loop over attacks with
+        # robust-flag accumulation; each attack program is jitted once by
+        # the factory, so this composes with the per-batch loop without
+        # retracing. In mesh mode the batch inputs are committed to a
+        # row sharding and the inner jits follow it (data parallelism).
+        from ..attacks.autoattack import (AttackResult,
+                                          make_standard_evaluation)
+
+        version = "rand" if args.attack_type.endswith("rand") else "standard"
+        run_eval = make_standard_evaluation(
+            dists_fn, region, version=version,
+            square_queries=getattr(args, "square_queries", 5000),
+            preset_iters=getattr(args, "autoattack_iters", 100),
+            logger=getattr(args, "LOGGER", None),
+            run_checks=getattr(args, "run_checks", False))
+
+        shard = None
+        if getattr(args, "mesh", False):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import MC_AXIS, get_mesh
+
+            n_dev = len(jax.devices())
+            bs = getattr(args, "batch_size", n_dev)
+            while bs % n_dev:
+                n_dev -= 1
+            mesh = get_mesh(MC_AXIS, n_devices=n_dev)
+            shard = NamedSharding(mesh, P(MC_AXIS))
+
+        def step(params, lats, labels, key):
+            if shard is not None:
+                lats = jax.device_put(lats, shard)
+                labels = jax.device_put(labels, shard)
+            res = run_eval(params, lats, labels, key)
+            return AttackResult(res.deltas, res.success, res.magnitudes)
+
+        return step
+
     if args.attack_type == "manual":
         def step(params, lats, labels, key):
             return find_adversaries_pgd(
@@ -93,7 +133,9 @@ def _make_attack_step(dists_fn: Callable, region: G.RegionMatrices, args
             return find_adversaries_autoattack(
                 partial(dists_fn, params), lats, labels, key, region,
                 args.attack_type, iters=args.iters, restarts=args.restarts,
-                n_target_classes=args.n_target_classes)
+                n_target_classes=args.n_target_classes,
+                apgd_use_cli_iters=getattr(args, "apgd_use_cli_iters",
+                                           False))
 
     if not getattr(args, "mesh", False):
         return jax.jit(step)
@@ -205,7 +247,10 @@ def eval_chunk(params: Dict, lat_codes: np.ndarray, num_chunk: int, args,
 
     n_succ = int(successes.sum())
     lin_comb = args.lin_comb or args.attack_type != "manual"
-    if n_succ and args.attack_type not in ("fab-t", "fab"):
+    if n_succ and args.attack_type not in ("fab-t", "fab", "autoattack",
+                                           "autoattack-rand"):
+        # (autoattack's kept deltas may come from its fab-t stage, which is
+        # minimum-norm and may legitimately exceed the budget.)
         # Host-side feasibility check for the bounded attacks (check_deltas
         # with check=True, gen_utils.py:316-331); FAB is minimum-norm and
         # may legitimately exceed the budget.

@@ -201,3 +201,108 @@ def test_pgd_zero_init_has_finite_gradients():
                                random_init=False)
     assert np.isfinite(np.asarray(res.best_deltas)).all()
     assert np.isfinite(np.asarray(res.magnitudes)).all()
+
+
+def test_apgd_ce_cli_iters_warn_or_honor(monkeypatch):
+    """apgd-ce/dlr: by default the reference's effective 100x1 is in force
+    and differing CLI --iters/--restarts trigger a prominent warning;
+    --apgd-use-cli-iters passes them through (VERDICT r1 item 9)."""
+    import warnings as W
+
+    from certifyingfacerecognition_tpu.attacks import autoattack as AA
+
+    captured = {}
+
+    def fake_apgd(logits_fn, labels, key, region, *, loss, n_iter,
+                  n_restarts):
+        captured.update(n_iter=n_iter, n_restarts=n_restarts)
+        B = labels.shape[0]
+        deltas = jnp.zeros((B, 5), jnp.float32)
+        return AA.AttackResult(deltas, jnp.zeros((B,), bool),
+                               jnp.zeros((B,), jnp.float32))
+
+    monkeypatch.setattr(AA, "apgd_attack", fake_apgd)
+    _, lats, labels, region = _toy_problem()
+
+    def logits_fn(deltas):
+        return -jnp.ones((labels.shape[0], 12), jnp.float32)
+
+    # Default: CLI values ignored, reference 100x1 in force + warning.
+    with pytest.warns(UserWarning, match="apgd-ce.*IGNORED"):
+        AA.run_attack(logits_fn, labels, jax.random.PRNGKey(0), region,
+                      "apgd-ce", iters=5, restarts=3)
+    assert (captured["n_iter"], captured["n_restarts"]) == (100, 1)
+
+    # Honored: no warning, CLI values flow through.
+    with W.catch_warnings():
+        W.simplefilter("error")
+        AA.run_attack(logits_fn, labels, jax.random.PRNGKey(0), region,
+                      "apgd-dlr", iters=5, restarts=3,
+                      apgd_use_cli_iters=True)
+    assert (captured["n_iter"], captured["n_restarts"]) == (5, 3)
+
+    # Matching defaults: no warning either.
+    with W.catch_warnings():
+        W.simplefilter("error")
+        AA.run_attack(logits_fn, labels, jax.random.PRNGKey(0), region,
+                      "apgd-ce", iters=100, restarts=1)
+    assert (captured["n_iter"], captured["n_restarts"]) == (100, 1)
+
+
+def test_run_standard_evaluation_sequential_accumulation():
+    """Full AutoAttack orchestration (autoattack.py:93-238): clean pass,
+    ordered attacks, robust-flag accumulation, per-attack accuracy dict;
+    the jitted factory path (make_standard_evaluation) must match the
+    closure path bit-for-bit given the same key."""
+    from certifyingfacerecognition_tpu.attacks.autoattack import (
+        make_standard_evaluation, run_standard_evaluation)
+
+    dists_fn, lats, labels, region = _toy_problem()
+    hi = jax.lax.Precision.HIGHEST
+
+    def logits_fn(deltas):
+        pert = jnp.dot(deltas, region.dirs.T, precision=hi)
+        return -dists_fn(lats + pert)
+
+    res = run_standard_evaluation(
+        logits_fn, labels, jax.random.PRNGKey(7), region,
+        version="standard", square_queries=50)
+
+    # Robust accuracy starts at the clean value and never increases.
+    accs = list(res.robust_accuracy.values())
+    assert list(res.robust_accuracy)[0] == "clean"
+    assert all(a <= b + 1e-9 for a, b in zip(accs[1:], accs[:-1]))
+    # The toy problem is built so attacks succeed.
+    assert bool(res.success.any())
+    # Success flags re-verify from the recorded deltas; non-broken samples
+    # keep the clean (zero) delta.
+    preds = np.asarray(jnp.argmax(logits_fn(res.deltas), axis=1))
+    np.testing.assert_array_equal(preds != np.asarray(labels),
+                                  np.asarray(res.success))
+    np.testing.assert_array_equal(np.asarray(res.y_adv), preds)
+    assert np.allclose(np.asarray(res.deltas)[~np.asarray(res.success)], 0.0)
+
+    # Factory path: identical results for identical keys.
+    def dists2(params, w):
+        return dists_fn(w)
+
+    run = make_standard_evaluation(dists2, region, version="standard",
+                                   square_queries=50)
+    res2 = run({}, lats, labels, jax.random.PRNGKey(7))
+    # jit fusion reorders float ops, so deltas match to float tolerance
+    # (not bitwise); the decisions must agree exactly.
+    assert res2.robust_accuracy == res.robust_accuracy
+    np.testing.assert_array_equal(np.asarray(res2.success),
+                                  np.asarray(res.success))
+    preds2 = np.asarray(jnp.argmax(logits_fn(res2.deltas), axis=1))
+    np.testing.assert_array_equal(preds2 != np.asarray(labels),
+                                  np.asarray(res2.success))
+
+    # 'rand' preset = the two APGD variants only.
+    res3 = run_standard_evaluation(logits_fn, labels, jax.random.PRNGKey(0),
+                                   region, version="rand")
+    assert set(res3.robust_accuracy) <= {"clean", "apgd-ce", "apgd-dlr"}
+
+    with pytest.raises(ValueError, match="plus"):
+        run_standard_evaluation(logits_fn, labels, jax.random.PRNGKey(0),
+                                region, version="plus")

@@ -180,3 +180,21 @@ def test_generate_data_wp_space_no_truncation(workdir):
     png = np.asarray(Image.open(osp.join(out, "ims", "000000.png")))
     np.testing.assert_allclose(
         (np.clip(img[0], 0, 1) * 255).astype(np.uint8), png, atol=1)
+
+
+def test_attack_autoattack_sequential(workdir, data_dir):
+    """--attack-type autoattack: the reference's run_standard_evaluation
+    sequence (apgd-ce -> apgd-t -> fab-t -> square) with robust-flag
+    accumulation, end to end through the chunked CLI."""
+    main_attack.main(["--output-dir", "atk_aa", "--num-chunk", "0",
+                      "--attack-type", "autoattack", "--square-queries",
+                      "10", "--autoattack-iters", "3",
+                      "--data-dir", data_dir, "--chunks", "2",
+                      "--batch-size", "2", "--resolution", str(RES),
+                      "--seed", "1"])
+    logs = os.listdir(osp.join("exp_results", "atk_aa", "logs"))
+    assert "results_chunk0of2.txt" in logs
+    log_text = open(osp.join("exp_results", "atk_aa", "logs",
+                             "chunk_0.log")).read()
+    assert "initial accuracy" in log_text
+    assert "robust accuracy after APGD-CE" in log_text
