@@ -80,6 +80,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh-id", type=int, default=1,
                         help="With --mesh: id-axis size; shards the gallery "
                              "over this many devices (1M-identity regime)")
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="Initialise jax.distributed (one process per "
+                             "host of a pod slice) before building the mesh; "
+                             "coordinator/process args auto-detect on TPU "
+                             "pods. Replaces the reference's SLURM job "
+                             "arrays (README.md:17-18) with a real DCN-"
+                             "spanning device mesh.")
+    parser.add_argument("--coordinator-address", type=str, default=None,
+                        help="host:port of process 0 (only needed off-TPU)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("--resume", action="store_true", default=False,
                         help="Append to an existing outfile, skipping "
                              "already-certified identities")
@@ -96,6 +107,17 @@ def load_gallery(args) -> np.ndarray:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+
+    if args.multihost:
+        # Must run before anything touches jax.devices(): afterwards the
+        # device list spans the whole slice and --mesh/--mesh-id meshes
+        # shard over ICI+DCN (SURVEY.md §2.7 "DP over ICI/DCN").
+        from ..parallel.mesh import init_distributed
+
+        init_distributed(args.coordinator_address, args.num_processes,
+                         args.process_id)
+        print(f"multihost: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
 
     region = G.get_all_matrices(boundaries_dir=args.boundaries_dir)
     dirs = region.dirs.T                       # [k, 512] rows (certify.py:71)
@@ -151,6 +173,10 @@ def main(argv=None) -> None:
                       noise_dim=num_dirs, batch_size=args.batch_sz,
                       mesh=mesh, params=params, param_specs=param_specs)
 
+    # Multihost: every process executes the same loop (the certify programs
+    # are collective over the global mesh) but only process 0 owns the TSV.
+    is_writer = not args.multihost or jax.process_index() == 0
+
     parent = osp.dirname(osp.abspath(args.outfile))
     os.makedirs(parent, exist_ok=True)
     done = set()
@@ -163,7 +189,7 @@ def main(argv=None) -> None:
                 if cols and cols[0].isdigit():
                     done.add(int(cols[0]))
         print(f"Resuming: {len(done)} identities already certified")
-    else:
+    elif is_writer:
         with open(args.outfile, "w+") as f:
             print("idx\tlabel\tpredict\tcorrect\tgap\tradius\ttime", file=f,
                   flush=True)
@@ -185,9 +211,10 @@ def main(argv=None) -> None:
         elapsed = str(datetime.timedelta(seconds=time() - before))
         correct = int(prediction == i)
         radius = float(np.min(sigma)) * gap
-        with open(args.outfile, "a") as f:
-            print(f"{i}\t{i}\t{prediction}\t{correct}\t{gap:.3}\t"
-                  f"{radius:.3}\t{elapsed}", file=f, flush=True)
+        if is_writer:
+            with open(args.outfile, "a") as f:
+                print(f"{i}\t{i}\t{prediction}\t{correct}\t{gap:.3}\t"
+                      f"{radius:.3}\t{elapsed}", file=f, flush=True)
 
 
 if __name__ == "__main__":

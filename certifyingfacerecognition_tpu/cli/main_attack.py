@@ -69,6 +69,19 @@ def main(argv=None) -> None:
     log = args.LOGGER
     t0 = time()
 
+    if args.multihost:
+        # Before anything touches jax.devices(): afterwards --mesh shards
+        # the attack batch over the whole slice (ICI+DCN).
+        import jax
+
+        from ..parallel.mesh import init_distributed
+
+        init_distributed(args.coordinator_address, args.num_processes,
+                         args.process_id)
+        log.info(f"multihost: process {jax.process_index()} of "
+                 f"{jax.process_count()}, {len(jax.devices())} global "
+                 "devices")
+
     region = G.get_all_matrices(args.attrs2drop,
                                 scale_factor=args.scale_factor,
                                 boundaries_dir=args.boundaries_dir)
