@@ -47,14 +47,13 @@ def _block_apply(p: Dict, x: jnp.ndarray, stride: int, *, dtype, prec
     out = nn.affine_channels(out, p["bn2"]["scale"].astype(dtype),
                              p["bn2"]["shift"].astype(dtype))
     out = nn.prelu(out, p["prelu"].astype(dtype))
-    out = nn.conv2d(out, p["conv2"].astype(dtype), stride=stride,
-                    precision=prec)
+    out = nn.conv2d_frozen(out, p["conv2"].astype(dtype), ((1, 1), (1, 1)),
+                           1, prec, stride)
     out = nn.affine_channels(out, p["bn3"]["scale"].astype(dtype),
                              p["bn3"]["shift"].astype(dtype))
     if "downsample" in p:
-        identity = nn.conv2d(x, p["downsample"]["conv"].astype(dtype),
-                             stride=stride, padding=((0, 0), (0, 0)),
-                             precision=prec)
+        identity = nn.conv2d_frozen(x, p["downsample"]["conv"].astype(dtype),
+                                    ((0, 0), (0, 0)), 1, prec, stride)
         identity = nn.affine_channels(
             identity, p["downsample"]["bn"]["scale"].astype(dtype),
             p["downsample"]["bn"]["shift"].astype(dtype))

@@ -45,37 +45,51 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
         feature_group_count=feature_group_count, precision=precision)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def conv2d_frozen(x: jnp.ndarray, kernel: jnp.ndarray, padding=((1, 1), (1, 1)),
-                  feature_group_count: int = 1, precision=None) -> jnp.ndarray:
-    """Stride-1 NHWC conv whose weights are treated as frozen.
+                  feature_group_count: int = 1, precision=None,
+                  stride: int = 1) -> jnp.ndarray:
+    """NHWC conv (any stride) whose weights are treated as frozen.
 
     XLA's auto-derived grad-input conv materialises its cotangent in a
     batch-minor layout with up to 12.8x padding expansion (gigabytes at
     1024^2 — docs/PERF.md); written explicitly as a forward conv with the
-    spatially-flipped, io-swapped kernel it keeps the standard layout.
-    Weight gradients are intentionally ZERO — every model in this
-    framework is frozen (only latents/deltas are optimised).
+    spatially-flipped, io-swapped kernel (lhs-dilated by the stride for
+    strided convs) it keeps the standard layout. Weight gradients are
+    intentionally ZERO — every model in this framework is frozen (only
+    latents/deltas are optimised).
     """
-    return conv2d(x, kernel, padding=padding,
+    return conv2d(x, kernel, stride=stride, padding=padding,
                   feature_group_count=feature_group_count,
                   precision=precision)
 
 
-def _conv2d_frozen_fwd(x, kernel, padding, fgc, precision):
-    return conv2d_frozen(x, kernel, padding, fgc, precision), kernel
+def _conv2d_frozen_fwd(x, kernel, padding, fgc, precision, stride):
+    y = conv2d_frozen(x, kernel, padding, fgc, precision, stride)
+    return y, (kernel, x.shape)
 
 
-def _conv2d_frozen_bwd(padding, fgc, precision, kernel, dy):
+def _conv2d_frozen_bwd(padding, fgc, precision, stride, res, dy):
+    kernel, x_shape = res
     kh, kw = kernel.shape[0], kernel.shape[1]
+    h, w = x_shape[1], x_shape[2]
+    oh, ow = dy.shape[1], dy.shape[2]
     if fgc == 1:
         k_adj = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))
     else:  # depthwise (I == 1): the adjoint keeps the group structure
         k_adj = kernel[::-1, ::-1]
-    pad_adj = ((kh - 1 - padding[0][0], kh - 1 - padding[0][1]),
-               (kw - 1 - padding[1][0], kw - 1 - padding[1][1]))
-    dx = conv2d(dy, k_adj, padding=pad_adj, feature_group_count=fgc,
-                precision=precision)
+    # dx size must come back to h: with dy lhs-dilated by the stride
+    # (effective size (o-1)*stride+1), low pad is the usual k-1-p_lo and
+    # high pad closes the remainder (rows the strided forward never read).
+    pad_adj = ((kh - 1 - padding[0][0],
+                h + padding[0][0] - (oh - 1) * stride - 1),
+               (kw - 1 - padding[1][0],
+                w + padding[1][0] - (ow - 1) * stride - 1))
+    dx = jax.lax.conv_general_dilated(
+        dy, k_adj, window_strides=(1, 1), padding=pad_adj,
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=fgc, precision=precision)
     return dx, jnp.zeros_like(kernel)
 
 
@@ -138,12 +152,30 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return (x - m.astype(x.dtype)) * scale
 
 
+@jax.custom_vjp
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-neighbour 2x upsample, NHWC, via reshape/broadcast (no gather)."""
+    """Nearest-neighbour 2x upsample, NHWC, via reshape/broadcast (no gather).
+
+    The adjoint is written explicitly as a reshape + 2x2 window sum so the
+    backward never routes through XLA's derived broadcast/reshape chain
+    (which can pick a batch-minor cotangent layout at 1024^2 scale)."""
     b, h, w, c = x.shape
     x = x[:, :, None, :, None, :]
     x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
     return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _upsample2x_fwd(x):
+    return upsample_nearest_2x(x), None
+
+
+def _upsample2x_bwd(_, dy):
+    b, h2, w2, c = dy.shape
+    dx = dy.reshape(b, h2 // 2, 2, w2 // 2, 2, c).sum(axis=(2, 4))
+    return (dx,)
+
+
+upsample_nearest_2x.defvjp(_upsample2x_fwd, _upsample2x_bwd)
 
 
 def blur_3x3(x: jnp.ndarray, *, precision=None, frozen: bool = True

@@ -233,8 +233,8 @@ def _synthesis_block(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
         else:
             x = nn.upsample_nearest_2x(x)
             scale = _wscale(x.shape[-1] * 9)
-            x = nn.conv2d(x, p["conv_weight"].astype(dtype),
-                          precision=prec) * scale
+            x = nn.conv2d_frozen(x, p["conv_weight"].astype(dtype),
+                                 ((1, 1), (1, 1)), 1, prec) * scale
         # The Pallas blur+epilogue kernel beats the XLA op chain 2x in
         # isolation, but loses in-context: the custom call forces dense
         # layouts at its boundary while XLA keeps conv activations in its

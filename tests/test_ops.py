@@ -64,3 +64,57 @@ def test_probs_from_dists():
     p = np.asarray(D.probs_from_dists(jnp.asarray(d)))
     s = np.exp(-d / np.sqrt(512))
     np.testing.assert_allclose(p, s / s.sum(1, keepdims=True), rtol=1e-5)
+
+
+def test_conv2d_frozen_grad_matches_autodiff():
+    """The hand-written frozen-conv adjoints (stride 1/2, padded/unpadded,
+    dense/depthwise, + nearest-upsample) must equal XLA's auto-derived
+    input gradients exactly; weight grads are zero by design."""
+    import jax
+    import jax.numpy as jnp
+
+    from certifyingfacerecognition_tpu.models import nn
+
+    rng = np.random.default_rng(0)
+    hi = jax.lax.Precision.HIGHEST
+    cases = [
+        # (h, w, cin, cout, kh, pad, fgc, stride)
+        (12, 12, 8, 16, 3, 1, 1, 1),
+        (12, 12, 8, 16, 3, 1, 1, 2),   # iresnet conv2 stride-2
+        (13, 11, 8, 16, 3, 1, 1, 2),   # odd sizes
+        (12, 12, 8, 16, 1, 0, 1, 2),   # downsample 1x1 stride-2
+        (12, 12, 8, 8, 3, 1, 8, 1),    # depthwise blur shape
+    ]
+    for h, w, cin, cout, kh, pad, fgc, stride in cases:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+        kshape = (kh, kh, cin // fgc, cout)
+        k = jnp.asarray(rng.standard_normal(kshape), jnp.float32)
+        padding = ((pad, pad), (pad, pad))
+
+        ref = lambda x_, k_: nn.conv2d(x_, k_, stride=stride,
+                                       padding=padding,
+                                       feature_group_count=fgc, precision=hi)
+        fro = lambda x_, k_: nn.conv2d_frozen(x_, k_, padding, fgc, hi,
+                                              stride)
+        y_ref = ref(x, k)
+        y = fro(x, k)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-6, atol=1e-6)
+        dy = jnp.asarray(rng.standard_normal(y.shape), jnp.float32)
+        dx_ref, _ = jax.vjp(ref, x, k)[1](dy)
+        (dx, dk) = jax.vjp(fro, x, k)[1](dy)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=str((h, w, kh, pad, fgc, stride)))
+        assert not np.asarray(dk).any()
+
+    # nearest-upsample adjoint == derived broadcast adjoint
+    x = jnp.asarray(rng.standard_normal((2, 6, 5, 4)), jnp.float32)
+    up_ref = lambda x_: jnp.repeat(jnp.repeat(x_, 2, axis=1), 2, axis=2)
+    y = nn.upsample_nearest_2x(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(up_ref(x)))
+    dy = jnp.asarray(rng.standard_normal(y.shape), jnp.float32)
+    (dx,) = jax.vjp(nn.upsample_nearest_2x, x)[1](dy)
+    (dx_ref,) = jax.vjp(up_ref, x)[1](dy)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-6, atol=1e-6)
