@@ -190,13 +190,85 @@ def convert_stylegan_pkl(pkl_path: str, out_path: str,
     print(f"Converted {len(tf_vars)} TF variables -> {out_path}")
 
 
+# ---------------------------------------------------------------------------
+# PGGAN (ProgressiveGAN) snapshots
+# ---------------------------------------------------------------------------
+
+def pggan_tf_to_torch_names(resolution: int) -> List[Tuple[str, str]]:
+    """(torch_name, tf_name) pairs for a PGGAN generator. TF scheme
+    (pggan_generator_model.py:34-89): '4x4/Dense', '4x4/Conv', then
+    '{res}x{res}/Conv{0,1}'; RGB heads 'ToRGB_lod{n}' with lod 0 at the
+    native output resolution (the reference shifts its 1024-table by
+    10-log2(res) at conversion time, pggan_generator.py:57-60 — here the
+    names are generated directly for the target resolution)."""
+    from ..models.pggan import num_layers
+
+    pairs = [("layer0.conv.weight", "4x4/Dense/weight"),
+             ("layer0.wscale.bias", "4x4/Dense/bias"),
+             ("layer1.conv.weight", "4x4/Conv/weight"),
+             ("layer1.wscale.bias", "4x4/Conv/bias")]
+    L = num_layers(resolution)
+    for li in range(2, L):
+        res = 2 ** (li // 2 + 2)
+        scope = f"{res}x{res}/Conv{li % 2}"
+        pairs.append((f"layer{li}.conv.weight", f"{scope}/weight"))
+        pairs.append((f"layer{li}.wscale.bias", f"{scope}/bias"))
+    n_heads = L // 2
+    for oi in range(n_heads):
+        lod = n_heads - 1 - oi
+        pairs.append((f"output{oi}.conv.weight", f"ToRGB_lod{lod}/weight"))
+        pairs.append((f"output{oi}.wscale.bias", f"ToRGB_lod{lod}/bias"))
+    return pairs
+
+
+def pggan_tf_vars_to_torch_state_dict(tf_vars: Dict[str, np.ndarray],
+                                      resolution: int
+                                      ) -> Dict[str, np.ndarray]:
+    """Rename + relayout PGGAN TF variables. The 4x4 head is a TF dense
+    [512, 512*4*4] applied to the latent and reshaped NCHW; as a conv its
+    torch form is the [in,out,4,4]-viewed, oi-swapped, spatially-flipped
+    kernel (exactly the reference's view/permute/flip,
+    pggan_generator.py:68-71). Other convs are HWIO -> OIHW."""
+    sd: Dict[str, np.ndarray] = {}
+    for torch_name, tf_name in pggan_tf_to_torch_names(resolution):
+        if tf_name not in tf_vars:
+            raise KeyError(f"TF variable {tf_name} (for {torch_name}) "
+                           f"missing from pickle")
+        var = np.asarray(tf_vars[tf_name], np.float32)
+        if torch_name == "layer0.conv.weight":
+            var = var.reshape(var.shape[0], -1, 4, 4)      # [in, out, 4, 4]
+            var = var.transpose(1, 0, 2, 3)[:, :, ::-1, ::-1].copy()
+        elif torch_name.endswith("conv.weight"):
+            var = var.transpose(3, 2, 0, 1)                # HWIO -> OIHW
+        sd[torch_name] = var
+    return sd
+
+
+def convert_pggan_pkl(pkl_path: str, out_path: str,
+                      resolution: int = 1024) -> None:
+    from ..models import pggan
+    from ..utils import weights as W
+
+    tf_vars = load_pkl_variables(pkl_path)
+    sd = pggan_tf_vars_to_torch_state_dict(tf_vars, resolution)
+    params = pggan.convert_torch_state_dict(sd, resolution)
+    W.save_params(out_path, params)
+    print(f"Converted {len(tf_vars)} TF variables -> {out_path}")
+
+
 def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 2:
         print(__doc__)
         raise SystemExit(2)
     res = int(argv[2]) if len(argv) > 2 else 1024
-    convert_stylegan_pkl(argv[0], argv[1], res)
+    gan = argv[3] if len(argv) > 3 else (
+        "pggan" if "pggan" in argv[0].lower()
+        or "karras2018" in argv[0].lower() else "stylegan")
+    if gan == "pggan":
+        convert_pggan_pkl(argv[0], argv[1], res)
+    else:
+        convert_stylegan_pkl(argv[0], argv[1], res)
 
 
 if __name__ == "__main__":

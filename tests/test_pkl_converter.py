@@ -106,3 +106,103 @@ def test_pkl_conversion_matches_torch_path(fake_pkl, tmp_path):
     img_g = stylegan.synthesize_from_z(got, z, resolution=RES)
     np.testing.assert_allclose(np.asarray(img_g), np.asarray(img_w),
                                atol=1e-5)
+
+
+def test_stylegan_pkl_conversion_full_1024_leaf_for_leaf(tmp_path):
+    """Full-shape validation (VERDICT r1 item 8): the complete 1024^2
+    variable map — all 18 layers, 9 ToRGB heads, 8 mapping denses, noises —
+    must round-trip pkl -> pytree identically to the torch-state-dict path,
+    leaf for leaf (the reference's conversion self-test analogue,
+    mod_stylegan_generator.py:116-132, without TF)."""
+    import jax
+
+    sd = stylegan.random_torch_style_state_dict(1024, seed=7)
+    tf_vars = _torch_sd_to_tf_vars(sd, 1024)
+    # 18 conv/const layers + 9 RGB heads + 8 denses + avg + noises
+    assert "1024x1024/Conv1/weight" in tf_vars
+    assert "ToRGB_lod0/weight" in tf_vars and "ToRGB_lod8/weight" in tf_vars
+    assert "noise17" in tf_vars
+
+    path = str(tmp_path / "fake-stylegan-1024.pkl")
+    _write_fake_official_pkl(path, {
+        k: (v * 2 if "Dense" in k else v) for k, v in tf_vars.items()})
+    out = str(tmp_path / "conv1024.npz")
+    PC.convert_stylegan_pkl(path, out, resolution=1024)
+
+    got = W.load_params(out)
+    want = stylegan.convert_torch_state_dict(sd, 1024)
+    got_leaves = jax.tree_util.tree_leaves_with_path(got)
+    want_leaves = dict(jax.tree_util.tree_leaves_with_path(want))
+    assert len(got_leaves) == len(want_leaves)
+    for kpath, leaf in got_leaves:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(want_leaves[kpath]),
+            err_msg=jax.tree_util.keystr(kpath))
+
+
+def _pggan_torch_sd_to_tf_vars(sd, resolution):
+    """Inverse of the PGGAN relayout (reference pggan_generator.py:68-71)."""
+    tf_vars = {}
+    for torch_name, tf_name in PC.pggan_tf_to_torch_names(resolution):
+        var = np.asarray(sd[torch_name], np.float32)
+        if torch_name == "layer0.conv.weight":
+            var = var[:, :, ::-1, ::-1].transpose(1, 0, 2, 3)
+            var = var.reshape(var.shape[0], -1).copy()
+        elif torch_name.endswith("conv.weight"):
+            var = var.transpose(2, 3, 1, 0)               # OIHW -> HWIO
+        tf_vars[tf_name] = var
+    return tf_vars
+
+
+def test_pggan_pkl_conversion_full_1024_leaf_for_leaf(tmp_path):
+    from certifyingfacerecognition_tpu.models import pggan
+
+    sd = pggan.random_torch_style_state_dict(1024, seed=3)
+    tf_vars = _pggan_torch_sd_to_tf_vars(sd, 1024)
+    assert "4x4/Dense/weight" in tf_vars
+    assert tf_vars["4x4/Dense/weight"].shape == (512, 512 * 16)
+    assert "1024x1024/Conv1/weight" in tf_vars
+    assert "ToRGB_lod0/weight" in tf_vars and "ToRGB_lod8/weight" in tf_vars
+
+    path = str(tmp_path / "fake-pggan-1024.pkl")
+    # the fake-pkl writer halves vars named Dense* into its mapping
+    # component; pre-double so the on-disk values equal tf_vars exactly
+    _write_fake_official_pkl(path, {
+        k: (v * 2 if "Dense" in k else v) for k, v in tf_vars.items()})
+    out = str(tmp_path / "pggan1024.npz")
+    PC.convert_pggan_pkl(path, out, resolution=1024)
+
+    import jax
+
+    got = W.load_params(out)
+    want = pggan.convert_torch_state_dict(sd, 1024)
+    got_leaves = jax.tree_util.tree_leaves_with_path(got)
+    want_leaves = dict(jax.tree_util.tree_leaves_with_path(want))
+    assert len(got_leaves) == len(want_leaves)
+    for kpath, leaf in got_leaves:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(want_leaves[kpath]),
+            err_msg=jax.tree_util.keystr(kpath))
+
+
+def test_pggan_pkl_synthesis_matches_torch_path(tmp_path):
+    """Behavioral check at a small resolution: images from pkl-derived and
+    torch-derived parameters agree."""
+    from certifyingfacerecognition_tpu.models import pggan
+
+    res = 32
+    sd = pggan.random_torch_style_state_dict(res, seed=5)
+    path = str(tmp_path / "fake-pggan-32.pkl")
+    _write_fake_official_pkl(path, {
+        k: (v * 2 if "Dense" in k else v)
+        for k, v in _pggan_torch_sd_to_tf_vars(sd, res).items()})
+    out = str(tmp_path / "pggan32.npz")
+    PC.convert_pggan_pkl(path, out, resolution=res)
+
+    z = np.asarray(rng.standard_normal((2, 512)), np.float32)
+    img_w = pggan.synthesize_from_z(pggan.convert_torch_state_dict(sd, res),
+                             jnp.asarray(z), resolution=res)
+    img_g = pggan.synthesize_from_z(W.load_params(out), jnp.asarray(z),
+                             resolution=res)
+    np.testing.assert_allclose(np.asarray(img_g), np.asarray(img_w),
+                               atol=1e-5)
