@@ -335,9 +335,27 @@ def _plot_advs(params, chunk_lats, deltas, successes, all_labels, adv_preds,
 
     synth = jax.jit(lambda gp, w: stylegan.synthesize_from_w(
         gp, w, resolution=args.resolution))
-    ims = np.asarray(synth(params["gen"], lats))
-    adv_ims = np.asarray(synth(params["gen"], lats + pert))
-    conf_ims = np.asarray(synth(params["gen"], conf_lats))
+
+    def synth_chunked(w, bs=4):
+        # Figures only — tiny fixed batches keep this off the HBM peak
+        # (one f32 1024^2 batch of 16 costs 8 GB once XLA pads the batch
+        # into the lane dim).
+        outs = []
+        for s in range(0, w.shape[0], bs):
+            b = w[s:s + bs]
+            if b.shape[0] < bs:
+                b = jnp.concatenate(
+                    [b, jnp.zeros((bs - b.shape[0],) + b.shape[1:],
+                                  b.dtype)])
+                outs.append(np.asarray(synth(params["gen"], b))
+                            [: w.shape[0] - s])
+            else:
+                outs.append(np.asarray(synth(params["gen"], b)))
+        return np.concatenate(outs)
+
+    ims = synth_chunked(lats)
+    adv_ims = synth_chunked(lats + pert)
+    conf_ims = synth_chunked(conf_lats)
 
     for j, i in enumerate(succ_idx):
         panel = np.concatenate([ims[j], adv_ims[j], conf_ims[j]], axis=1)

@@ -142,6 +142,25 @@ def _blur_epilogue_fused(p: Dict, x: jnp.ndarray, w_layer: jnp.ndarray, *,
                          s1.astype(jnp.float32))
 
 
+def _blur_epilogue_fused_bl(p: Dict, x: jnp.ndarray, w_layer: jnp.ndarray,
+                            *, dtype, prec) -> jnp.ndarray:
+    """blur + epilogue as the BATCH-IN-LANES Pallas kernel
+    (ops/fused_epilogue_bl.py): the boundary transposes match XLA's native
+    batch-minor layout for these small-channel convs, so they lower to
+    relayouts XLA can elide instead of the ~29 ms copies that made the
+    channel-minor kernel a net loss (docs/PERF.md)."""
+    from ..ops.fused_epilogue_bl import blur_epilogue_bl
+
+    c = x.shape[-1]
+    noise_nw = (p["noise"] * p["noise_weight"]).astype(dtype)
+    s0, s1 = _style(p, w_layer, c, dtype=dtype, prec=prec)
+    y_t = jnp.transpose(x, (1, 2, 3, 0))
+    out = blur_epilogue_bl(y_t, noise_nw, p["bias"].astype(jnp.float32),
+                           (s0 + 1.0).astype(jnp.float32),
+                           s1.astype(jnp.float32))
+    return jnp.transpose(out, (3, 0, 1, 2))
+
+
 def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
                     dtype=jnp.float32) -> jnp.ndarray:
     """W+ [B,L,512] -> image [B,H,W,3] in [-1, 1] (value range of the
@@ -224,10 +243,8 @@ def _synthesis_block(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
     epilogue (stylegan_generator_model.py:331-395)."""
     import os
 
-    li = 2 * block_idx - 2
-    if li > 0:  # up-conv layer
-        p = syn[f"layer{li}"]
-        fused = is_fused_layer(li)
+    def up_half(x, p, w_layer):
+        fused = is_fused_layer(2 * block_idx - 2)
         if fused:
             x = _upconv(x, p["tconv_kernel"].astype(dtype), prec)
         else:
@@ -241,24 +258,42 @@ def _synthesis_block(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
         # own (channel-padded) layout, so conversions eat the win
         # (docs/PERF.md). Off by default until the tail's convs are also
         # Pallas (then dense layouts flow end-to-end).
-        if fused and dtype == jnp.bfloat16 and \
-                x.shape[1] >= int(os.environ.get(
-                    "CFR_FUSED_EPILOGUE_MIN_RES", "1") or 10**9) and \
-                os.environ.get("CFR_FUSED_EPILOGUE", "0") == "1" and \
-                (x.shape[2] * x.shape[3]) % 128 == 0 and \
-                x.shape[1] % 8 == 0:
-            x = _blur_epilogue_fused(p, x, wp[:, li], dtype=dtype,
-                                     prec=prec)
-        else:
-            x = nn.blur_3x3(x, precision=prec)
-            x = _epilogue(p, x, wp[:, li], dtype=dtype, prec=prec)
+        mode = os.environ.get("CFR_FUSED_EPILOGUE", "0")
+        min_res = int(os.environ.get("CFR_FUSED_EPILOGUE_MIN_RES", "1")
+                      or 10**9)
+        if fused and dtype == jnp.bfloat16 and x.shape[1] >= min_res:
+            if mode == "1" and (x.shape[2] * x.shape[3]) % 128 == 0 and \
+                    x.shape[1] % 8 == 0:
+                return _blur_epilogue_fused(p, x, w_layer, dtype=dtype,
+                                            prec=prec)
+            if mode == "bl" and x.shape[1] % 8 == 0 and \
+                    x.shape[2] % 8 == 0:
+                return _blur_epilogue_fused_bl(p, x, w_layer, dtype=dtype,
+                                               prec=prec)
+        x = nn.blur_3x3(x, precision=prec)
+        return _epilogue(p, x, w_layer, dtype=dtype, prec=prec)
+
+    def conv_half(x, p, w_layer):
+        scale = _wscale(x.shape[-1] * 9)
+        x = nn.conv2d_frozen(x, p["conv_weight"].astype(dtype),
+                             ((1, 1), (1, 1)), 1, prec) * scale
+        return _epilogue(p, x, w_layer, dtype=dtype, prec=prec)
+
+    # At >= 512^2 the two half-layers are nested-rematted inside the
+    # per-block checkpoint: the block backward otherwise holds ~4
+    # simultaneous [B,1024,1024,16] temps (4 GB each once XLA pads the
+    # batch into the 128-lane dim for these small-channel convs), which
+    # OOMs 16 GB HBM at attack batch 32. Halving the live set costs one
+    # extra half-forward recompute only on the attack (backward) path.
+    big = x.shape[1] >= 256            # input res; output is 2x
+    maybe_ckpt = jax.checkpoint if big else (lambda f: f)
+
+    li = 2 * block_idx - 2
+    if li > 0:  # up-conv layer
+        x = maybe_ckpt(up_half)(x, syn[f"layer{li}"], wp[:, li])
 
     li = 2 * block_idx - 1  # plain conv layer
-    p = syn[f"layer{li}"]
-    scale = _wscale(x.shape[-1] * 9)
-    x = nn.conv2d_frozen(x, p["conv_weight"].astype(dtype),
-                         ((1, 1), (1, 1)), 1, prec) * scale
-    return _epilogue(p, x, wp[:, li], dtype=dtype, prec=prec)
+    return maybe_ckpt(conv_half)(x, syn[f"layer{li}"], wp[:, li])
 
 
 def postprocess(images: jnp.ndarray, min_val: float = -1.0,

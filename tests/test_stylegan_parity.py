@@ -97,3 +97,26 @@ def test_postprocess_matches_reference_formula():
     got = np.asarray(sg.postprocess(jnp.asarray(x)))
     want = np.clip((x + 1.0) / 2.0 + 0.5 / 255.0, 0.0, 1.0)
     np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_truncated_synthesis_matches_native_params():
+    """Reduced-resolution path (--synthesis-resolution): synthesizing at
+    res r from a larger model's params must equal synthesizing from the
+    r-native conversion of the same weights — the channel plans are
+    prefixes of each other and heads are numbered from 4x4 upward, so the
+    truncated program reuses the early layers + matching ToRGB head."""
+    import jax.numpy as jnp
+
+    from certifyingfacerecognition_tpu.models import stylegan
+
+    sd = stylegan.random_torch_style_state_dict(128, seed=9)
+    params_big = stylegan.convert_torch_state_dict(sd, 128)
+    params_small = stylegan.convert_torch_state_dict(sd, 32)
+
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+    img_trunc = stylegan.synthesize_from_w(params_big, w, resolution=32)
+    img_native = stylegan.synthesize_from_w(params_small, w, resolution=32)
+    assert img_trunc.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(img_trunc),
+                               np.asarray(img_native), atol=1e-6)
