@@ -36,6 +36,10 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_batches = int(os.environ.get("BENCH_NBATCHES", "3"))
     n_gallery = int(os.environ.get("BENCH_GALLERY", "1000"))
+    # BENCH_MESH_ID > 1: shard the gallery over that many devices (and the
+    # MC batch over the rest) — the 1M-identity regime is
+    # BENCH_GALLERY=1000000 BENCH_MESH_ID=4 on multi-chip hardware.
+    mesh_id = int(os.environ.get("BENCH_MESH_ID", "1"))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" \
         else jnp.float32
 
@@ -49,15 +53,32 @@ def main():
 
     embed = make_lat2embs("insightface", resolution, dtype=dtype)
 
-    def predict_fn(params, z, p):
-        gp, fp = params
-        w = z[None, :] + jnp.dot(p, dirs)
-        embs = embed(gp, fp, w).astype(jnp.float32)
-        return D.argmin_dist_refined(embs, gallery, "insightface")
+    if mesh_id > 1:
+        from jax.sharding import PartitionSpec as P
 
-    counts = make_counts_fn(predict_fn, n_gallery, L2Certificate(),
-                            batch_size=batch, noise_dim=5, with_params=True)
-    params = jax.device_put((gen_params, frm_params))
+        from certifyingfacerecognition_tpu.parallel.gallery import (
+            make_sharded_gallery_predict_fn)
+        from certifyingfacerecognition_tpu.parallel.mesh import get_2d_mesh
+
+        n_dev = len(jax.devices())
+        mesh = get_2d_mesh(n_dev // mesh_id, mesh_id)
+        predict_fn = make_sharded_gallery_predict_fn(embed, dirs)
+        params = {"gen": gen_params, "frm": frm_params, "gallery": gallery}
+        specs = {"gen": P(), "frm": P(), "gallery": P("id")}
+        counts = make_counts_fn(predict_fn, n_gallery, L2Certificate(),
+                                batch_size=batch, noise_dim=5, mesh=mesh,
+                                with_params=True, param_specs=specs)
+    else:
+        def predict_fn(params, z, p):
+            gp, fp = params
+            w = z[None, :] + jnp.dot(p, dirs)
+            embs = embed(gp, fp, w).astype(jnp.float32)
+            return D.argmin_dist_refined(embs, gallery, "insightface")
+
+        counts = make_counts_fn(predict_fn, n_gallery, L2Certificate(),
+                                batch_size=batch, noise_dim=5,
+                                with_params=True)
+        params = jax.device_put((gen_params, frm_params))
 
     def counts_fn(*a):
         return counts(params, *a)

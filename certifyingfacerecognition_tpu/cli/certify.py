@@ -73,6 +73,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Gallery embeddings (.npz with 'embs', or .pth)")
     parser.add_argument("--boundaries-dir", type=str, default=None)
     parser.add_argument("--resolution", type=int, default=1024)
+    parser.add_argument("--synthesis-resolution", type=int, default=None,
+                        help="Truncate synthesis at this resolution (uses "
+                             "the matching early layers + ToRGB head of the "
+                             "--resolution weights). The FRM consumes 112^2 "
+                             "either way; synthesis is ~82%% of certification "
+                             "time at 1024^2, so 256/512 trade fidelity for "
+                             "3-10x throughput (docs/PERF.md 'Reduced-"
+                             "resolution certification'). Gallery embeddings "
+                             "must be computed at the same synthesis "
+                             "resolution.")
     parser.add_argument("--dtype", type=str, default="fp32",
                         choices=["fp32", "bf16"])
     parser.add_argument("--mesh", action="store_true", default=False,
@@ -101,8 +111,13 @@ def build_parser() -> argparse.ArgumentParser:
 def load_gallery(args) -> np.ndarray:
     path = args.embs_file or osp.join(
         args.data_dir, f"embs_{args.face_recog_model}.npz")
-    embs = W.load_embeddings(path)
-    return np.asarray(embs[: args.load_n_embs], np.float32)
+    # mmap .npy galleries: at 1M x 512 (2 GB) the rows stream straight to
+    # the device put instead of living twice in host RAM.
+    embs = W.load_embeddings(path, mmap=True)
+    embs = embs[: args.load_n_embs]
+    if embs.dtype != np.float32:
+        embs = np.asarray(embs, np.float32)
+    return embs
 
 
 def main(argv=None) -> None:
@@ -123,7 +138,9 @@ def main(argv=None) -> None:
     dirs = region.dirs.T                       # [k, 512] rows (certify.py:71)
     num_dirs = dirs.shape[0]
 
-    dataset = np.load(osp.join(args.data_dir, "w.npy")).astype(np.float32)
+    # Memory-mapped: the certify loop touches one 512-float row per
+    # identity, so the 1M-row file never has to fit in host RAM at once.
+    dataset = np.load(osp.join(args.data_dir, "w.npy"), mmap_mode="r")
     dataset = dataset[: args.load_n_embs]
     gallery = load_gallery(args)
     assert len(gallery) == len(dataset), \
@@ -132,13 +149,24 @@ def main(argv=None) -> None:
     print(f"Found {num_classes} classes")
     print(f"Found {num_dirs} directions")
 
+    gallery_gb = gallery.size * 4 / 2**30
+    if gallery_gb > 4.0 and not (args.mesh and args.mesh_id > 1):
+        # Replicated per chip, a 1M-identity gallery plus the MC batch
+        # blows the 16 GB HBM budget — point at the sharded path instead
+        # of OOMing deep inside XLA (reference analogue: --load-n-embs,
+        # certify.py:64-65).
+        print(f"WARNING: {gallery_gb:.1f} GB gallery will be REPLICATED on "
+              "every device; pass --mesh --mesh-id N to shard it over the "
+              "id axis, or cap it with --load-n-embs")
+
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     gen_params = W.load_generator_params(args.gen_weights,
                                          resolution=args.resolution)
     frm_params = W.load_frm_params(args.frm_weights, args.face_recog_model)
+    syn_res = args.synthesis_resolution or args.resolution
     pipeline = FacePipeline(gen_params, frm_params, dirs=jnp.asarray(dirs),
                             frs_method=args.face_recog_model,
-                            resolution=args.resolution, dtype=dtype,
+                            resolution=syn_res, dtype=dtype,
                             gallery=jnp.asarray(gallery))
 
     # Sigma: scalar (isotropic) or per-attribute diagonal (certify.py:85-95).

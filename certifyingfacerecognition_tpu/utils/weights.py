@@ -80,10 +80,14 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             for k, v in sd.items()}
 
 
-def load_embeddings(path: str) -> np.ndarray:
+def load_embeddings(path: str, mmap: bool = False) -> np.ndarray:
     """Load a gallery-embedding array: native .npz (key 'embs'), the
     reference's torch-pickle .pth, or a bare .npy. If the exact path is
-    missing, the sibling file with the other extension is probed."""
+    missing, the sibling file with the other extension is probed.
+
+    mmap=True memory-maps bare .npy files (the 1M x 512 regime — 2 GB —
+    should stream to device without a second host copy); .npz/.pth formats
+    can't be mapped and fall back to a full read."""
     base, ext = osp.splitext(path)
     if not osp.isfile(path):
         for alt in (".npz", ".pth", ".npy"):
@@ -97,7 +101,7 @@ def load_embeddings(path: str) -> np.ndarray:
         import torch
 
         return torch.load(path, map_location="cpu").numpy()
-    return np.load(path)
+    return np.load(path, mmap_mode="r" if mmap else None)
 
 
 def _cached_convert(path: str, convert, key: str = "") -> Dict:

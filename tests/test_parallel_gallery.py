@@ -101,3 +101,42 @@ def test_counts_with_sharded_gallery_matches_replicated():
     # Same class histogram shape; RNG streams differ (per-device fold_in),
     # so compare distributions only loosely: the dominant class must agree.
     assert a.argmax() == b.argmax() == 3
+
+
+def test_sharded_argmin_100k_gallery_scale():
+    """Realistic-scale correctness + collective-traffic check (VERDICT r1
+    item 7): 100k x 512 gallery sharded 2-way on the CPU mesh. The compiled
+    program must all-gather only per-shard (distance, index) winners —
+    kilobytes — never gallery rows or distance matrices."""
+    import re
+
+    mesh = _mesh_2d()
+    N, B = 100_000, 32
+    gal = rng.standard_normal((N, 512)).astype(np.float32)
+    queries = np.arange(B) * (N // B) + 7          # spread across shards
+    x = gal[queries] + 1e-4 * rng.standard_normal((B, 512)).astype(
+        np.float32)
+    gallery = jnp.asarray(gal)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P("id")), out_specs=P(),
+             check_vma=False)
+    def run(x, gal_shard):
+        return sharded_argmin_dist(x, gal_shard, "insightface")
+
+    jitted = jax.jit(run)
+    got = np.asarray(jitted(jnp.asarray(x), gallery))
+    want = np.asarray(D.argmin_dist_refined(jnp.asarray(x), gallery,
+                                            "insightface"))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, queries)
+
+    # Collective traffic: every all-gather in the optimized HLO moves only
+    # O(n_id * B) scalars (winners), not the sharded gallery.
+    hlo = jitted.lower(jnp.asarray(x), gallery).compile().as_text()
+    sizes = []
+    for m in re.finditer(r"= \w+\[([\d,]*)\]\S* all-gather\(", hlo):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        elems = int(np.prod(dims)) if dims else 1
+        sizes.append(elems)
+    assert sizes, "expected at least one all-gather in the compiled HLO"
+    assert max(sizes) <= 64 * B, f"all-gather too large: {sizes}"
