@@ -246,6 +246,42 @@ def run_standard_evaluation(
     return StandardEvalResult(deltas, y_adv, ~robust, magnitudes, acc)
 
 
+def run_standard_evaluation_individual(
+    logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    labels: jnp.ndarray,
+    key: jax.Array,
+    region: G.RegionMatrices,
+    *,
+    attacks_to_run: Sequence[str] | None = None,
+    version: str = "standard",
+    logger=None,
+    **kwargs,
+) -> dict:
+    """Per-attack (non-sequential) evaluation: each attack runs on the
+    FULL clean batch independently and its own robust accuracy is
+    reported — the reference's ``run_standard_evaluation_individual``
+    (autoattack/autoattack.py:254-278). Returns
+    {attack: StandardEvalResult}."""
+    import time
+
+    if attacks_to_run is None:
+        if version not in VERSION_PRESETS:
+            raise ValueError(f"unknown AutoAttack version {version!r}")
+        attacks_to_run = VERSION_PRESETS[version]
+    out = {}
+    for name in attacks_to_run:
+        t0 = time.time()
+        key, sub = jax.random.split(key)
+        out[name] = run_standard_evaluation(
+            logits_fn, labels, sub, region, attacks_to_run=(name,),
+            version=version, **kwargs)
+        if logger is not None:
+            acc = out[name].robust_accuracy.get(name, 1.0)
+            logger.info(f"robust accuracy by {name.upper()} \t {acc:.2%} "
+                        f"\t (time attack: {time.time() - t0:.1f} s)")
+    return out
+
+
 def make_standard_evaluation(
     dists_fn: Callable[[dict, jnp.ndarray], jnp.ndarray],
     region: G.RegionMatrices,

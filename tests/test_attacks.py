@@ -306,3 +306,28 @@ def test_run_standard_evaluation_sequential_accumulation():
     with pytest.raises(ValueError, match="plus"):
         run_standard_evaluation(logits_fn, labels, jax.random.PRNGKey(0),
                                 region, version="plus")
+
+
+def test_run_standard_evaluation_individual():
+    """Per-attack mode (autoattack.py:254-278): every attack sees the full
+    clean batch independently."""
+    from certifyingfacerecognition_tpu.attacks.autoattack import (
+        run_standard_evaluation_individual)
+
+    dists_fn, lats, labels, region = _toy_problem()
+    hi = jax.lax.Precision.HIGHEST
+
+    def logits_fn(deltas):
+        pert = jnp.dot(deltas, region.dirs.T, precision=hi)
+        return -dists_fn(lats + pert)
+
+    out = run_standard_evaluation_individual(
+        logits_fn, labels, jax.random.PRNGKey(3), region,
+        attacks_to_run=("apgd-ce", "square"), square_queries=50,
+        preset_iters=20)
+    assert set(out) == {"apgd-ce", "square"}
+    for name, res in out.items():
+        # each result is self-consistent and independent of the others
+        preds = np.asarray(jnp.argmax(logits_fn(res.deltas), axis=1))
+        np.testing.assert_array_equal(preds != np.asarray(labels),
+                                      np.asarray(res.success))
