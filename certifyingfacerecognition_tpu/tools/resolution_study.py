@@ -86,6 +86,7 @@ def main():
                 ran_estimation = pred == i or pred == -1 or gap > 0.0
                 samples += N0 + (N if ran_estimation else 0)
             rows.append((int(pred), float(gap)))
+        n_timed = n_ids - 1
         elapsed = time.time() - t_start
         sps = samples / elapsed
         results[res] = rows
@@ -110,14 +111,14 @@ def main():
             for i, ((p, _), (bp, _)) in enumerate(zip(cur, base))])
         both = [(g, bg) for (p, g), (bp, bg) in zip(cur, base)
                 if g > 0 and bg > 0]
-        gap_corr = (float(np.corrcoef([g for g, _ in both],
-                                      [b for _, b in both])[0, 1])
-                    if len(both) > 2 else float("nan"))
+        gap_corr = (round(float(np.corrcoef([g for g, _ in both],
+                                            [b for _, b in both])[0, 1]), 4)
+                    if len(both) > 2 else None)
         print(json.dumps({
             "agreement_vs_native": {"resolution": res,
                                     "decision_agreement": round(
                                         float(dec_agree), 4),
-                                    "gap_corr": round(gap_corr, 4),
+                                    "gap_corr": gap_corr,
                                     "n_both_certified": len(both)}}))
 
 
