@@ -15,6 +15,8 @@ Stage layout for iresnet-50: [3, 4, 14, 3] (iresnet.py:174-176).
 
 from __future__ import annotations
 
+import math
+
 from typing import Dict, Optional
 
 import jax.numpy as jnp
@@ -145,15 +147,32 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray],
     return params
 
 
-def random_torch_style_state_dict(arch: str = "iresnet50", seed: int = 0
+def random_torch_style_state_dict(arch: str = "iresnet50", seed: int = 0,
+                                  realistic: bool = False
                                   ) -> Dict[str, np.ndarray]:
-    """Random state dict with the reference naming/shapes (for golden tests)."""
+    """Random state dict with the reference naming/shapes (for golden tests).
+
+    ``realistic=True`` uses He-scaled conv weights and benign BN statistics
+    so activations stay O(1) through all 50 layers and the resulting
+    embeddings are *discriminative* — with the default test scaling (s=0.2,
+    ~5x gain per conv) activations explode and every input collapses onto
+    one gallery class, which is fine for numerical-parity tests but useless
+    for behavioural studies (tools/resolution_study.py).
+    """
     rng = np.random.default_rng(seed)
 
     def w(*shape, s=0.2):
+        if realistic and len(shape) == 4:             # conv OIHW: He init
+            s = math.sqrt(2.0 / (shape[1] * shape[2] * shape[3]))
         return (rng.standard_normal(shape) * s).astype(np.float32)
 
     def bn(prefix, c, sd):
+        if realistic:
+            sd[f"{prefix}.weight"] = w(c, s=0.1) + 1.0
+            sd[f"{prefix}.bias"] = w(c, s=0.1)
+            sd[f"{prefix}.running_mean"] = w(c, s=0.1)
+            sd[f"{prefix}.running_var"] = np.abs(w(c, s=0.1)) + 1.0
+            return
         sd[f"{prefix}.weight"] = w(c, s=0.3) + 1.0
         sd[f"{prefix}.bias"] = w(c)
         sd[f"{prefix}.running_mean"] = w(c)
@@ -182,7 +201,9 @@ def random_torch_style_state_dict(arch: str = "iresnet50", seed: int = 0
         inplanes = planes
 
     bn("bn2", 512, sd)
-    sd["fc.weight"] = w(NUM_FEATURES, 512 * FC_SCALE, s=0.02)
+    sd["fc.weight"] = w(NUM_FEATURES, 512 * FC_SCALE,
+                    s=math.sqrt(1.0 / (512 * FC_SCALE))
+                    if realistic else 0.02)
     sd["fc.bias"] = w(NUM_FEATURES)
     bn("features", NUM_FEATURES, sd)
     return sd

@@ -165,11 +165,26 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
                     dtype=jnp.float32) -> jnp.ndarray:
     """W+ [B,L,512] -> image [B,H,W,3] in [-1, 1] (value range of the
     trained model). Reference: stylegan_generator_model.py:331-395 (lod=0)."""
+    import os
+
     channels = RESOLUTIONS_TO_CHANNELS[resolution]
     syn = params["synthesis"]
     prec = nn.precision_for(dtype)
     wp = wp.astype(dtype)
     B = wp.shape[0]
+
+    # The >=512^2 blocks can run as the BC-layout Pallas tail (one layout
+    # end-to-end, ToRGB fused — ops/synthesis_tail_bc.py). bf16 only; the
+    # f32 path stays pure-XLA for bit parity with the torch reference.
+    n_blocks = len(channels) - 1
+    bc_first = n_blocks + 1
+    if os.environ.get("CFR_TAIL", "") == "bc" and dtype == jnp.bfloat16:
+        # First block handled by the Pallas tail: output resolution
+        # CFR_TAIL_MIN_RES (default 512 — where the XLA epilogues dominate),
+        # floored at the first fused-upconv block (128^2). Block bi's
+        # output resolution is 2^(bi+1) (block 1 still runs at 4^2).
+        min_res = int(os.environ.get("CFR_TAIL_MIN_RES", "512"))
+        bc_first = max(6, int(np.log2(min_res)) - 1)
 
     # layer0: learned constant + epilogue.
     p0 = syn["layer0"]
@@ -177,7 +192,7 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
                          (B,) + p0["const"].shape)
     x = _epilogue(p0, x, wp[:, 0], dtype=dtype, prec=prec)
 
-    for block_idx in range(1, len(channels)):
+    for block_idx in range(1, min(len(channels), bc_first)):
         # Each resolution block is rematerialised (jax.checkpoint): free on
         # the forward-only certify path, and it caps the attack backward's
         # peak memory at one block's activations instead of the whole
@@ -192,6 +207,11 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
                 bp, x, wp, block_idx=bi, dtype=dtype, prec=prec),
             static_argnums=())(x, block_params, wp)
 
+    if bc_first <= n_blocks:
+        return _synthesis_tail_bc(syn, x, wp, bc_first=bc_first,
+                                  n_blocks=n_blocks, channels=channels,
+                                  dtype=dtype, prec=prec)
+
     # Final ToRGB only (intermediate heads are dead work at lod=0).
     po = syn[f"output{len(channels) - 2}"]
     scale = 1.0 / math.sqrt(x.shape[-1])
@@ -199,6 +219,52 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
                            ((0, 0), (0, 0)), 1, prec) * scale
     img = img + po["bias"].astype(dtype)
     return img
+
+
+def _synthesis_tail_bc(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
+                       bc_first: int, n_blocks: int, channels, dtype,
+                       prec) -> jnp.ndarray:
+    """Run blocks [bc_first..n_blocks] + the final ToRGB as the BC-layout
+    Pallas tail (ops/synthesis_tail_bc.py): the activation enters
+    [H, W, B, C] once and never changes layout until the RGB image."""
+    from ..ops import synthesis_tail_bc as bc
+
+    def nb_of(p):
+        return (p["noise"] * p["noise_weight"] + p["bias"]
+                ).astype(jnp.float32)
+
+    def styles(p, w_layer, c):
+        s0, s1 = _style(p, w_layer, c, dtype=dtype, prec=prec)
+        return (s0.astype(jnp.float32) + 1.0), s1.astype(jnp.float32)
+
+    def block_bc(x_bc, block_params, wp, *, bi):
+        co = channels[bi]
+        p_up = block_params[f"layer{2 * bi - 2}"]
+        s0p1, s1 = styles(p_up, wp[:, 2 * bi - 2], co)
+        x_bc = bc.upconv_blur_epilogue_bc(
+            x_bc, p_up["tconv_kernel"], nb_of(p_up), s0p1, s1)
+
+        p_c = block_params[f"layer{2 * bi - 1}"]
+        k = (p_c["conv_weight"] * _wscale(co * 9)).astype(jnp.float32)
+        s0p1, s1 = styles(p_c, wp[:, 2 * bi - 1], co)
+        if bi < n_blocks:
+            return bc.conv_epilogue_bc(x_bc, k, nb_of(p_c), s0p1, s1)
+        po = block_params["output"]
+        w_rgb = (po["conv_weight"].reshape(co, 3)
+                 * (1.0 / math.sqrt(co))).astype(jnp.float32)
+        return bc.conv_epilogue_rgb_bc(x_bc, k, nb_of(p_c), s0p1, s1,
+                                       w_rgb, po["bias"])
+
+    x_bc = jnp.transpose(x, (1, 2, 3, 0))              # -> [H, W, C, B]
+    for bi in range(bc_first, n_blocks + 1):
+        bp = {k: syn[k] for k in (f"layer{2 * bi - 2}",
+                                  f"layer{2 * bi - 1}")}
+        if bi == n_blocks:
+            bp["output"] = syn[f"output{len(channels) - 2}"]
+        x_bc = jax.checkpoint(
+            lambda x, bp, wp, bi=bi: block_bc(x, bp, wp, bi=bi),
+            static_argnums=())(x_bc, bp, wp)
+    return jnp.transpose(x_bc, (3, 1, 2, 0))           # [3,H,W,B]->[B,H,W,3]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -395,7 +461,8 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray], resolution: int
     return params
 
 
-def random_torch_style_state_dict(resolution: int, seed: int = 0
+def random_torch_style_state_dict(resolution: int, seed: int = 0,
+                                  realistic: bool = False
                                   ) -> Dict[str, np.ndarray]:
     """A randomly-initialised state dict with the reference's key naming and
     shapes — used for golden tests and weight-free benchmarks."""
@@ -403,8 +470,16 @@ def random_torch_style_state_dict(resolution: int, seed: int = 0
     channels = RESOLUTIONS_TO_CHANNELS[resolution]
     sd = {}
     for i in range(MAPPING_LAYERS):
+        # realistic=True emulates *trained* equalised-lr magnitudes: the
+        # official StyleGAN draws N(0, 1/lrmul) and multiplies by
+        # he_std*lrmul at runtime; with the mapping's lrmul=0.01 that is
+        # std 100. With plain N(0,1) every mapping layer shrinks ~70x and
+        # all identities collapse onto one w — useless for behavioural
+        # studies. Parity tests keep N(0,1): the larger magnitudes change
+        # f32 rounding by ~1 ulp vs torch, breaking bit-parity goldens.
+        mag = 1.0 / MAPPING_LR_MULT if realistic else 1.0
         sd[f"mapping.dense{i}.linear.weight"] = rng.standard_normal(
-            (W_DIM, W_DIM)).astype(np.float32)
+            (W_DIM, W_DIM)).astype(np.float32) * mag
         sd[f"mapping.dense{i}.wscale.bias"] = rng.standard_normal(
             W_DIM).astype(np.float32) * 0.1
     sd["truncation.w_avg"] = rng.standard_normal(W_DIM).astype(np.float32)
@@ -448,6 +523,8 @@ def random_torch_style_state_dict(resolution: int, seed: int = 0
     return sd
 
 
-def random_params(resolution: int, seed: int = 0) -> Dict:
+def random_params(resolution: int, seed: int = 0,
+                  realistic: bool = False) -> Dict:
     return convert_torch_state_dict(
-        random_torch_style_state_dict(resolution, seed), resolution)
+        random_torch_style_state_dict(resolution, seed, realistic=realistic),
+        resolution)

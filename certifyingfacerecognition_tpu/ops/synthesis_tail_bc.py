@@ -1,0 +1,661 @@
+"""Pallas TPU kernels: the full StyleGAN >=512^2 synthesis tail in one layout.
+
+Round-1/2 finding (docs/PERF.md): fusing the blur+epilogue chain alone is a
+net LOSS in context — whatever layout the Pallas kernel adopts, XLA inserts
+~27 ms layout conversions of the 4 GB activation at the custom-call
+boundary, and XLA's own convs are only fast in ITS layout. The fix is to
+remove the boundary entirely: these kernels implement the *whole* tail —
+up-conv, blur, epilogue, 3x3 conv, ToRGB — so the activation never leaves
+one layout between the 256^2 block output and the final RGB image.
+
+Storage layout: activations live in HBM as [H, W, C, B] — the TPU (8,128)
+tile applies to the minor two dims, so C<=64 channels sit in sublanes
+(no padding) and the 128-sample MC batch exactly fills the lanes. A
+[H, W, B, C] layout would be padded C->128 in lanes: an 8x HBM blowup
+(compile-checked — Mosaic tiles HBM memrefs too). B must be a multiple
+of 128: partial lane tiles cannot be DMA'd.
+
+Compute formulation — "M-packed group dots". For 8 consecutive output
+pixels of one row, the 3x3 im2col window is 3 rows x 10 columns; a
+dynamic_slice [3, 10, C, B] of the haloed tile reshapes (one in-VMEM
+gather) to an rhs [30C, B] whose K dim sits on SUBLANES, and a
+block-structured weight W [8*Co, 30C] computes all 8 pixels in ONE MXU
+matmul: out rows (pixel-major) reshape [8, Co, B] straight into the
+[.., C, B] storage orientation. No minor-dim transposes, no 9-way
+lane-concatenation (the round-2 kernels spent ~15 ms/traversal there),
+and K = 480/960 with M = 8*Co = 128/256 keeps the MXU ~90% utilised at
+a 30/9 = 3.3x tap redundancy — far cheaper than idling 7/8 of the
+array on K = C taps. The up-conv packs the SAME way per output-row
+parity: each phase row is a [2, 6, C, B] window and an exact
+K = 12*Ci matmul (384/768 — no padding at all).
+
+Each half-layer is two streaming passes (moments, then apply) that
+recompute t = lrelu(conv(x) + noise*nw + bias) instead of materialising
+it: the input is read twice and the output written once — 3 traversals of
+HBM versus XLA's 5+ for the unfused chain, with zero layout conversions.
+
+Math matches the reference chain exactly
+(stylegan_generator_model.py:227-322,441-463,538-565):
+    up-half:   t = lrelu(blur3x3(upconv4x4s2(x)) + noise*nw + bias)
+    conv-half: t = lrelu(conv3x3(x)*wscale + noise*nw + bias)
+    both:      out = instnorm(t) * (s0+1) + s1
+    ToRGB:     rgb = conv1x1(out)/sqrt(C) + bias_rgb   (emitted [3,H,W,B])
+
+Gradients fall back to the XLA implementation via custom_vjp (attacks
+differentiate the same math through the frozen-conv VJPs of models/nn.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 8  # output pixels per M-packed dot
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementations (backward pass + test oracle).
+# I/O layout matches the kernels: x [H, W, C, B]; rgb [3, H, W, B].
+# ---------------------------------------------------------------------------
+
+def _nhwc(x_cb):
+    return jnp.transpose(x_cb, (3, 0, 1, 2))
+
+
+def _cb(x_nhwc):
+    return jnp.transpose(x_nhwc, (1, 2, 3, 0))
+
+
+def _epilogue_ref(t, nb, s0p1, s1, eps):
+    from ..models import nn
+
+    dtype = t.dtype
+    t = nn.lrelu(t + nb[None])
+    t = nn.instance_norm(t, eps=eps)
+    out = t * s0p1[:, None, None, :] + s1[:, None, None, :]
+    # nb/s* are f32; cast back so the output dtype matches the Pallas
+    # forward (f32 internal compute, activation-dtype output).
+    return out.astype(dtype)
+
+
+def _conv_ref(x_cb, k_hwio, nb, s0p1, s1, eps):
+    from ..models import nn
+
+    y = nn.conv2d_frozen(_nhwc(x_cb), k_hwio.astype(x_cb.dtype),
+                         ((1, 1), (1, 1)), 1, None)
+    return _cb(_epilogue_ref(y, nb, s0p1, s1, eps))
+
+
+def _conv_rgb_ref(x_cb, k_hwio, nb, s0p1, s1, w_rgb, b_rgb, eps):
+    from ..models import nn
+
+    y = nn.conv2d_frozen(_nhwc(x_cb), k_hwio.astype(x_cb.dtype),
+                         ((1, 1), (1, 1)), 1, None)
+    out = _epilogue_ref(y, nb, s0p1, s1, eps)
+    rgb = jnp.einsum("bhwc,cd->bhwd", out, w_rgb.astype(out.dtype)) + b_rgb
+    return jnp.transpose(rgb.astype(x_cb.dtype), (3, 1, 2, 0))
+
+
+def _upconv_ref(x_cb, k4_hwio, nb, s0p1, s1, eps):
+    from ..models import nn
+    from ..models.stylegan import _upconv
+
+    y = _upconv(_nhwc(x_cb), k4_hwio.astype(x_cb.dtype), None)
+    y = nn.blur_3x3(y)
+    return _cb(_epilogue_ref(y, nb, s0p1, s1, eps))
+
+
+# ---------------------------------------------------------------------------
+# Weight packing (tiny, traced once per call)
+# ---------------------------------------------------------------------------
+
+def _conv_group_rows(co):
+    """Pixel rows per M-packed group: 2x4 when that still fits one MXU
+    M-tile (co <= 16), else 1x4 (M = 4*co = 128/256)."""
+    return 2 if 8 * co <= 128 else 1
+
+
+def _w_conv_packed(k_hwio):
+    """HWIO [3,3,Ci,Co] -> W [gr+2, gr*4*Co, 6*Ci]: one lhs per window
+    row dr, applied to the contiguous [6*Ci, B] reshape of the haloed
+    tile's row rb*gr+dr, cols 4g..4g+5.
+
+    Output pixel (dr2, mc) of the gr x 4 group sits at M rows
+    (dr2*4+mc)*Co..+Co and convolves kernel row sr = dr - dr2 (when
+    0 <= sr <= 2) at window cols mc..mc+2:
+    W[dr][(dr2*4+mc)*Co+o, (mc+s)*Ci+ci] = k[dr-dr2, s, ci, o]."""
+    _, _, ci, co = k_hwio.shape
+    gr = _conv_group_rows(co)
+    w = jnp.zeros((gr + 2, gr * 4 * co, 6 * ci), k_hwio.dtype)
+    for dr2 in range(gr):
+        for mc in range(4):
+            for sr in range(3):
+                blk = jnp.transpose(k_hwio[sr], (0, 2, 1))     # [3,Co,Ci]
+                for scol in range(3):
+                    col = (mc + scol) * ci
+                    m0 = (dr2 * 4 + mc) * co
+                    w = w.at[dr2 + sr, m0:m0 + co,
+                             col:col + ci].set(blk[scol])
+    return w
+
+
+def _w_up_packed(k4_hwio):
+    """_upconv kernel HWIO [4,4,Ci,Co] -> W [2, 8*Co, 3*Ci]: one lhs per
+    input row tap a, computing a 2x4 block of the blur-halo yb grid in
+    two dots.
+
+    Phase decomposition (out[o] = sum_kh K[kh] xd[o+kh-2], xd 2-dilated):
+    the yb row PAIR (2k, 2k+1) — global rows 2*i0-1+{2k,2k+1}, phases
+    p = 1-rp — reads the SAME two input rows k, k+1 of the haloed tile.
+    Columns start on the ODD global grid: col mc of a 4-col group has
+    phase q = (mc+1)%2 and window column c = mc//2 + b of the contiguous
+    [3*Ci, B] reshape of tile cols 2g..2g+2:
+    W[a][(rp*4+mc)*Co+o, (mc//2+b)*Ci+ci] = k4[2a+(1-rp), 2b+q, ci, o]."""
+    _, _, ci, co = k4_hwio.shape
+    w = jnp.zeros((2, GROUP * co, 3 * ci), k4_hwio.dtype)
+    for a in range(2):
+        for rp in range(2):
+            p = 1 - rp
+            for mc in range(4):
+                q = (mc + 1) % 2
+                for b in range(2):
+                    c = mc // 2 + b
+                    blk = jnp.transpose(k4_hwio[2 * a + p, 2 * b + q],
+                                        (1, 0))                # [Co, Ci]
+                    m0 = (rp * 4 + mc) * co
+                    w = w.at[a, m0:m0 + co, c * ci:(c + 1) * ci].set(blk)
+    return w
+
+
+def _w_rgb_packed(w_rgb, npx):
+    """ToRGB [Co, 3] -> block-diagonal [npx*3, npx*Co] so a whole group's
+    RGB is one dot against the [npx*Co, B]-flattened activation chunk."""
+    co = w_rgb.shape[0]
+    w = jnp.zeros((npx * 3, npx * co), w_rgb.dtype)
+    for m in range(npx):
+        w = w.at[m * 3:(m + 1) * 3, m * co:(m + 1) * co].set(w_rgb.T)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Shared kernel machinery
+# ---------------------------------------------------------------------------
+
+def _dma_tile(x_ref, scr, sem, i, j, *, nh, nw, th, tw):
+    """Copy tile (i, j) of x [H, W, C, B] plus 1-pixel halos into the
+    leading (th+2, tw+2) region of the scratch; out-of-image halos are
+    zero (the convs' zero padding). H/W are leading dims so DMA starts are
+    unconstrained; sizes must be static, hence one predicated copy per
+    edge case. The scratch may be wider than tw+2 (up-conv window slack) —
+    the extra columns only ever feed discarded outputs."""
+    edge = jnp.logical_or(jnp.logical_or(i == 0, i == nh - 1),
+                          jnp.logical_or(j == 0, j == nw - 1))
+
+    @pl.when(edge)
+    def _():
+        scr[...] = jnp.zeros_like(scr)
+
+    def axis_cases(idx, n, t):
+        if n == 1:
+            return [(idx == 0, 0, 1, t)]
+        return [(idx == 0, 0, 1, t + 1),
+                (idx == n - 1, idx * t - 1, 0, t + 1),
+                (jnp.logical_and(idx > 0, idx < n - 1), idx * t - 1, 0,
+                 t + 2)]
+
+    for rpred, r0, rd, rs in axis_cases(i, nh, th):
+        for cpred, c0, cd, cs in axis_cases(j, nw, tw):
+            @pl.when(jnp.logical_and(rpred, cpred))
+            def _(r0=r0, rd=rd, rs=rs, c0=c0, cd=cd, cs=cs):
+                cp = pltpu.make_async_copy(
+                    x_ref.at[pl.ds(r0, rs), pl.ds(c0, cs)],
+                    scr.at[pl.ds(rd, rs), pl.ds(cd, cs)], sem)
+                cp.start()
+                cp.wait()
+
+
+def _lrelu(t):
+    return jnp.where(t >= 0, t, 0.2 * t)
+
+
+def _coefs_from_sums(sums, n, s0p1_t, s1_t, eps):
+    """Fold instnorm + AdaIN into one (a, off) affine pair [2, C, B] f32.
+    sums [2, C, B]; s0p1_t/s1_t [C, B]."""
+    mean = sums[0] / n
+    var = jnp.maximum(sums[1] / n - mean * mean, 0.0)
+    rstd = lax.rsqrt(var + eps)
+    a = rstd * s0p1_t
+    off = (-mean * rstd) * s0p1_t + s1_t
+    return jnp.stack([a, off]).astype(jnp.float32)
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
+
+
+def _conv_groups(scr, w_ref, nb_ref, th, tw, ci, co, b, consume):
+    """Run the M-packed conv over the tile: a fori loop over gr-row
+    blocks with the 4-column groups UNROLLED inside (one loop iteration
+    per ~tw/4 MXU dots — per-group loop overhead dominated the first cut
+    of these kernels). consume(rb, t_block [gr, tw, co, B] f32, carry).
+    Slices go through the refs (Mosaic has no dynamic_slice on values);
+    each [1, 6, ci, B] row-window reshapes to [6ci, B] for free."""
+    gr = _conv_group_rows(co)
+    ng = tw // 4
+    w = w_ref[:]
+
+    def body(rb, carry):
+        r0 = rb * gr
+        cols = []
+        for g in range(ng):
+            y = jnp.zeros((gr * 4 * co, b), jnp.float32)
+            for dr in range(gr + 2):
+                rhs = scr[pl.ds(r0 + dr, 1), pl.ds(g * 4, 6)].reshape(
+                    6 * ci, b)
+                y += jnp.dot(w[dr], rhs,
+                             preferred_element_type=jnp.float32)
+            cols.append(y.reshape(gr, 4, co, b))
+        yb = jnp.concatenate(cols, axis=1)             # [gr, tw, co, B]
+        nbc = nb_ref[pl.ds(r0, gr)]                    # [gr, tw, co]
+        t = _lrelu(yb + nbc.astype(jnp.float32)[:, :, :, None])
+        return consume(rb, t, carry)
+
+    return body, th // gr
+
+
+def _up_rows(scr, w_ref, th, tw, ci, co, b, yb_ref):
+    """Deconv the haloed tile into the yb scratch rows [2*i0-1, 2*i0+2*th]
+    x cols [2*j0-1, ...] (blur halo grid). One fori loop over yb row
+    PAIRS (both parities share the same two input rows — see
+    _w_up_packed), 4-column groups unrolled: 2 MXU dots per group."""
+    ng = (2 * tw + 4) // 4
+    w = w_ref[:]
+
+    def body(kk, c):
+        cols = []
+        for gc in range(ng):
+            y = jnp.zeros((GROUP * co, b), jnp.float32)
+            for a in range(2):
+                rhs = scr[pl.ds(kk + a, 1), pl.ds(2 * gc, 3)].reshape(
+                    3 * ci, b)
+                y += jnp.dot(w[a], rhs,
+                             preferred_element_type=jnp.float32)
+            cols.append(y.reshape(2, 4, co, b))
+        block = jnp.concatenate(cols, axis=1)      # [2, 2tw+4, co, B]
+        yb_ref[pl.ds(2 * kk, 2)] = block.astype(yb_ref.dtype)
+        return c
+
+    lax.fori_loop(0, th + 1, body, 0)
+
+
+def _blur_t(yb_ref, nb_ref, i, j, nh, nw, th, tw):
+    """Zero the out-of-image yb border ring, 3x3-blur, add noise+bias,
+    lrelu. Returns t [2th, 2tw, Co, B] f32."""
+    zero = jnp.zeros_like(yb_ref[0:1])
+
+    @pl.when(i == 0)
+    def _():
+        yb_ref[0:1] = zero
+
+    @pl.when(i == nh - 1)
+    def _():
+        yb_ref[2 * th + 1:2 * th + 2] = zero
+
+    zcol = jnp.zeros_like(yb_ref[:, 0:1])
+
+    @pl.when(j == 0)
+    def _():
+        yb_ref[:, 0:1] = zcol
+
+    @pl.when(j == nw - 1)
+    def _():
+        yb_ref[:, 2 * tw + 1:2 * tw + 2] = zcol
+
+    r = yb_ref[pl.ds(0, 2 * th + 2), pl.ds(0, 2 * tw + 2)].astype(
+        jnp.float32)
+    v = (r[0:2 * th] + 2.0 * r[1:2 * th + 1] + r[2:2 * th + 2]) * 0.25
+    h = (v[:, 0:2 * tw] + 2.0 * v[:, 1:2 * tw + 1]
+         + v[:, 2:2 * tw + 2]) * 0.25
+    return _lrelu(h + nb_ref[:].astype(jnp.float32)[:, :, :, None])
+
+
+# ---------------------------------------------------------------------------
+# conv-half kernels
+# ---------------------------------------------------------------------------
+
+def _conv_stats_kernel(x_ref, w_ref, nb_ref, sums_ref, scr, sem,
+                       *, th, tw, nh, nw, ci, co):
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    _dma_tile(x_ref, scr, sem, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    b = scr.shape[3]
+
+    def consume(rb, t, carry):
+        return (carry[0] + jnp.sum(t, axis=(0, 1)),
+                carry[1] + jnp.sum(t * t, axis=(0, 1)))
+
+    body, n = _conv_groups(scr, w_ref, nb_ref, th, tw, ci, co, b, consume)
+    z = jnp.zeros((co, b), jnp.float32)
+    s1_, s2_ = lax.fori_loop(0, n, body, (z, z))
+    sums_ref[0] += s1_
+    sums_ref[1] += s2_
+
+
+def _conv_apply_kernel(x_ref, w_ref, nb_ref, coef_ref, out_ref, scr, sem,
+                       *, th, tw, nh, nw, ci, co):
+    i, j = pl.program_id(0), pl.program_id(1)
+    _dma_tile(x_ref, scr, sem, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    b = scr.shape[3]
+    a_c, off_c = coef_ref[0], coef_ref[1]                      # [co, B]
+
+    gr = _conv_group_rows(co)
+
+    def consume(rb, t, carry):
+        out = t * a_c[None, None] + off_c[None, None]
+        out_ref[pl.ds(rb * gr, gr)] = out.astype(out_ref.dtype)
+        return carry
+
+    body, n = _conv_groups(scr, w_ref, nb_ref, th, tw, ci, co, b, consume)
+    lax.fori_loop(0, n, body, 0)
+
+
+def _conv_rgb_apply_kernel(x_ref, w_ref, nb_ref, coef_ref, wrgb_ref,
+                           brgb_ref, out_ref, scr, sem,
+                           *, th, tw, nh, nw, ci, co):
+    i, j = pl.program_id(0), pl.program_id(1)
+    _dma_tile(x_ref, scr, sem, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    b = scr.shape[3]
+    a_c, off_c = coef_ref[0], coef_ref[1]
+    wrgb = wrgb_ref[:]                                         # [24, 8co]
+
+    gr = _conv_group_rows(co)
+
+    def consume(rb, t, carry):
+        out = (t * a_c[None, None] + off_c[None, None]).astype(
+            out_ref.dtype)
+        # out [gr, tw, co, B] -> block-diagonal RGB dot per 4-col group
+        tw_ = out.shape[1]
+        cols = []
+        for g in range(tw_ // 4):
+            chunk = out[:, g * 4:(g + 1) * 4]          # [gr, 4, co, B]
+            v = jnp.dot(wrgb, chunk.reshape(gr * 4 * co, b),
+                        preferred_element_type=jnp.float32)
+            cols.append(v.reshape(gr, 4, 3, b))
+        rgb = jnp.concatenate(cols, axis=1)            # [gr, tw, 3, B]
+        rgb = rgb + brgb_ref[0][None, None, :, None]
+        rgb = jnp.transpose(rgb, (2, 0, 1, 3))         # [3, gr, tw, B]
+        out_ref[:, pl.ds(rb * gr, gr)] = rgb.astype(out_ref.dtype)
+        return carry
+
+    body, n = _conv_groups(scr, w_ref, nb_ref, th, tw, ci, co, b, consume)
+    lax.fori_loop(0, n, body, 0)
+
+
+def _pick_tiles_conv(h, w, b, ci, co):
+    budget = 26 * 1024 * 1024
+
+    def usage(th, tw):
+        scr = 2 * (th + 2) * (tw + 2) * ci * b * 2
+        out = 2 * th * tw * co * b * 2
+        return scr + out
+
+    th = min(8, h)
+    while h % th:
+        th //= 2
+    tw = w
+    while tw > GROUP and (usage(th, tw) > budget or w % tw):
+        tw //= 2
+    return th, tw
+
+
+def _conv_impl(x, k_hwio, nb, s0p1, s1, eps, w_rgb=None, b_rgb=None):
+    """x [H, W, Ci, B]; k_hwio [3,3,Ci,Co] (wscale folded in);
+    nb [H, W, Co] (noise*nw + bias); s0p1/s1 [B, Co].
+    Returns [H, W, Co, B], or [3, H, W, B] when w_rgb [Co,3]/b_rgb [3]
+    are given (ToRGB fused into the apply pass)."""
+    h, w, ci, b = x.shape
+    co = k_hwio.shape[3]
+    th, tw = _pick_tiles_conv(h, w, b, ci, co)
+    nh, nw = h // th, w // tw
+
+    wp = _w_conv_packed(k_hwio).astype(x.dtype)
+    nbt = nb.astype(x.dtype)                                   # [H, W, Co]
+
+    common = dict(th=th, tw=tw, nh=nh, nw=nw, ci=ci, co=co)
+    scratch = [pltpu.VMEM((th + 2, tw + 2, ci, b), x.dtype),
+               pltpu.SemaphoreType.DMA(())]
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nb_spec = pl.BlockSpec((th, tw, co), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    coef_spec = pl.BlockSpec((2, co, b), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    sums = pl.pallas_call(
+        functools.partial(_conv_stats_kernel, **common),
+        grid=(nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, nb_spec],
+        out_specs=pl.BlockSpec((2, co, b), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, co, b), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(x, wp, nbt)
+
+    coefs = _coefs_from_sums(sums, h * w, s0p1.T, s1.T, eps)   # [2, Co, B]
+
+    if w_rgb is None:
+        return pl.pallas_call(
+            functools.partial(_conv_apply_kernel, **common),
+            grid=(nh, nw),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, nb_spec,
+                      coef_spec],
+            out_specs=pl.BlockSpec((th, tw, co, b),
+                                   lambda i, j: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h, w, co, b), x.dtype),
+            scratch_shapes=scratch,
+            compiler_params=_compiler_params(),
+            interpret=_interpret(),
+        )(x, wp, nbt, coefs)
+
+    # ToRGB fused into the apply pass: the final Co-channel activation is
+    # never written to HBM at all — only the [3, H, W, B] image (pad-free
+    # minor dims (W, B)).
+    return pl.pallas_call(
+        functools.partial(_conv_rgb_apply_kernel, **common),
+        grid=(nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, nb_spec,
+                  coef_spec, pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, th, tw, b), lambda i, j: (0, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, h, w, b), x.dtype),
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(x, wp, nbt, coefs,
+      _w_rgb_packed(w_rgb, 4 * _conv_group_rows(co)).astype(x.dtype),
+      jnp.asarray(b_rgb, jnp.float32).reshape(1, 3))
+
+
+# ---------------------------------------------------------------------------
+# up-half kernels
+# ---------------------------------------------------------------------------
+
+def _up_stats_kernel(x_ref, w_ref, nb_ref, sums_ref, scr, yb, sem,
+                     *, th, tw, nh, nw, ci, co):
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    _dma_tile(x_ref, scr, sem, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    b = scr.shape[3]
+    _up_rows(scr, w_ref, th, tw, ci, co, b, yb)
+    t = _blur_t(yb, nb_ref, i, j, nh, nw, th, tw)
+    sums_ref[0] += jnp.sum(t, axis=(0, 1))                     # [Co, B]
+    sums_ref[1] += jnp.sum(t * t, axis=(0, 1))
+
+
+def _up_apply_kernel(x_ref, w_ref, nb_ref, coef_ref, out_ref, scr, yb, sem,
+                     *, th, tw, nh, nw, ci, co):
+    i, j = pl.program_id(0), pl.program_id(1)
+    _dma_tile(x_ref, scr, sem, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    b = scr.shape[3]
+    _up_rows(scr, w_ref, th, tw, ci, co, b, yb)
+    t = _blur_t(yb, nb_ref, i, j, nh, nw, th, tw)
+    out = t * coef_ref[0][None, None] + coef_ref[1][None, None]
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _pick_tiles_up(h, w, b, ci, co):
+    budget = 30 * 1024 * 1024
+
+    def usage(th, tw):
+        scr = 2 * (th + 2) * (tw + 4) * ci * b * 2
+        yb = (2 * th + 2) * (2 * tw + 4) * co * b * 2
+        t32 = 2 * (2 * th) * (2 * tw + 2) * co * b * 4
+        out = 2 * (2 * th) * (2 * tw) * co * b * 2
+        return scr + yb + t32 + out
+
+    th = min(8, h)
+    while h % th:
+        th //= 2
+    tw = w
+    while tw > GROUP and (usage(th, tw) > budget or w % tw):
+        tw //= 2
+    return th, tw
+
+
+def _up_impl(x, k4_hwio, nb, s0p1, s1, eps):
+    """x [H, W, Ci, B]; k4_hwio [4,4,Ci,Co] (the models/stylegan._upconv
+    kernel, wscale folded at conversion); nb [2H, 2W, Co]; s0p1/s1 [B, Co].
+    Returns [2H, 2W, Co, B]."""
+    h, w, ci, b = x.shape
+    co = k4_hwio.shape[3]
+    th, tw = _pick_tiles_up(h, w, b, ci, co)
+    nh, nw = h // th, w // tw
+
+    wp = _w_up_packed(k4_hwio).astype(x.dtype)                 # [2,8Co,3Ci]
+    nbt = nb.astype(x.dtype)                                   # [2H, 2W, Co]
+
+    common = dict(th=th, tw=tw, nh=nh, nw=nw, ci=ci, co=co)
+    scratch = [pltpu.VMEM((th + 2, tw + 4, ci, b), x.dtype),
+               pltpu.VMEM((2 * th + 2, 2 * tw + 4, co, b), x.dtype),
+               pltpu.SemaphoreType.DMA(())]
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nb_spec = pl.BlockSpec((2 * th, 2 * tw, co), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+
+    sums = pl.pallas_call(
+        functools.partial(_up_stats_kernel, **common),
+        grid=(nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, nb_spec],
+        out_specs=pl.BlockSpec((2, co, b), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, co, b), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(x, wp, nbt)
+
+    coefs = _coefs_from_sums(sums, 4 * h * w, s0p1.T, s1.T, eps)
+
+    return pl.pallas_call(
+        functools.partial(_up_apply_kernel, **common),
+        grid=(nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, nb_spec,
+                  pl.BlockSpec((2, co, b), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((2 * th, 2 * tw, co, b),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * h, 2 * w, co, b), x.dtype),
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(x, wp, nbt, coefs)
+
+
+# ---------------------------------------------------------------------------
+# Public entry points (custom_vjp: forward = Pallas, backward = XLA ref)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def conv_epilogue_bc(x, k_hwio, nb, s0p1, s1, eps=1e-8):
+    """Fused conv3x3 -> +noise+bias -> lrelu -> instnorm -> AdaIN in the
+    [H, W, C, B] layout. x [H, W, Ci, B]; k_hwio [3,3,Ci,Co] with wscale
+    folded in; nb = noise*noise_weight + bias [H, W, Co]; s0p1/s1 [B, Co]."""
+    return _conv_impl(x, k_hwio, nb, s0p1, s1, eps)
+
+
+def _conv_fwd(x, k_hwio, nb, s0p1, s1, eps):
+    return _conv_impl(x, k_hwio, nb, s0p1, s1, eps), \
+        (x, k_hwio, nb, s0p1, s1)
+
+
+def _conv_bwd(eps, res, g):
+    _, vjp = jax.vjp(lambda *a: _conv_ref(*a, eps), *res)
+    return vjp(g)
+
+
+conv_epilogue_bc.defvjp(_conv_fwd, _conv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def conv_epilogue_rgb_bc(x, k_hwio, nb, s0p1, s1, w_rgb, b_rgb, eps=1e-8):
+    """conv_epilogue_bc with the 1x1 ToRGB head fused into the apply pass:
+    the final Co-channel activation never touches HBM. w_rgb [Co, 3]
+    (with the 1/sqrt(Co) wscale folded in); b_rgb [3].
+    Returns [3, H, W, B]."""
+    return _conv_impl(x, k_hwio, nb, s0p1, s1, eps, w_rgb, b_rgb)
+
+
+def _conv_rgb_fwd(x, k_hwio, nb, s0p1, s1, w_rgb, b_rgb, eps):
+    return _conv_impl(x, k_hwio, nb, s0p1, s1, eps, w_rgb, b_rgb), \
+        (x, k_hwio, nb, s0p1, s1, w_rgb, b_rgb)
+
+
+def _conv_rgb_bwd(eps, res, g):
+    _, vjp = jax.vjp(lambda *a: _conv_rgb_ref(*a, eps), *res)
+    return vjp(g)
+
+
+conv_epilogue_rgb_bc.defvjp(_conv_rgb_fwd, _conv_rgb_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def upconv_blur_epilogue_bc(x, k4_hwio, nb, s0p1, s1, eps=1e-8):
+    """Fused 4x4-stride-2 up-conv -> blur3x3 -> +noise+bias -> lrelu ->
+    instnorm -> AdaIN in the [H, W, C, B] layout. x [H, W, Ci, B]; k4_hwio
+    [4,4,Ci,Co] (models/stylegan._upconv kernel, wscale folded at
+    conversion); nb [2H, 2W, Co]; s0p1/s1 [B, Co]. Returns [2H,2W,Co,B]."""
+    return _up_impl(x, k4_hwio, nb, s0p1, s1, eps)
+
+
+def _up_fwd(x, k4_hwio, nb, s0p1, s1, eps):
+    return _up_impl(x, k4_hwio, nb, s0p1, s1, eps), \
+        (x, k4_hwio, nb, s0p1, s1)
+
+
+def _up_bwd(eps, res, g):
+    _, vjp = jax.vjp(lambda *a: _upconv_ref(*a, eps), *res)
+    return vjp(g)
+
+
+upconv_blur_epilogue_bc.defvjp(_up_fwd, _up_bwd)

@@ -11,7 +11,7 @@ Usage (real TPU):
     python -m certifyingfacerecognition_tpu.tools.resolution_study
 
 Env knobs: RS_IDS (identities certified, default 200), RS_GALLERY (total
-gallery rows, 1000), RS_N (MC samples, 1000), RS_N0 (100), RS_SIGMA (0.1),
+gallery rows, 1000), RS_N (MC samples, 1000), RS_N0 (100), RS_SIGMA (6.0),
 RS_ALPHA (0.001), RS_BATCH (128), RS_RESOLUTIONS ("1024,512,256").
 """
 
@@ -37,16 +37,24 @@ def main():
     n_gallery = int(os.environ.get("RS_GALLERY", "1000"))
     N = int(os.environ.get("RS_N", "1000"))
     N0 = int(os.environ.get("RS_N0", "100"))
-    sigma_v = float(os.environ.get("RS_SIGMA", "0.1"))
+    # Default sigma sits where decisions are NON-trivial for the
+    # realistic random weights (pA ~ 0.5-1.0, probed on-chip): far
+    # smaller and every id certifies at every resolution, making
+    # agreement vacuous.
+    sigma_v = float(os.environ.get("RS_SIGMA", "6.0"))
     alpha = float(os.environ.get("RS_ALPHA", "0.001"))
     batch = int(os.environ.get("RS_BATCH", "128"))
     resolutions = [int(r) for r in os.environ.get(
         "RS_RESOLUTIONS", "1024,512,256").split(",")]
     native = max(resolutions)
 
-    gen_params = stylegan.random_params(native, seed=0)
+    gen_params = stylegan.random_params(native, seed=0, realistic=True)
+    # realistic=True: He-scaled FRM weights whose embeddings actually
+    # discriminate identities — the parity-test scaling collapses every
+    # input onto one gallery class, making agreement trivially 100%.
     frm_params = iresnet.convert_torch_state_dict(
-        iresnet.random_torch_style_state_dict("iresnet50", seed=0))
+        iresnet.random_torch_style_state_dict("iresnet50", seed=0,
+                                              realistic=True))
     rng = np.random.default_rng(0)
     # Realistic W-space identities: mapping network over unit-sphere Z.
     z = rng.standard_normal((n_gallery, 512)).astype(np.float32)

@@ -194,7 +194,7 @@ def test_attack_autoattack_sequential(workdir, data_dir):
                       "--seed", "1"])
     logs = os.listdir(osp.join("exp_results", "atk_aa", "logs"))
     assert "results_chunk0of2.txt" in logs
-    log_text = open(osp.join("exp_results", "atk_aa", "logs",
-                             "chunk_0.log")).read()
+    log_text = open(osp.join("exp_results", "atk_aa", "chunk_0",
+                             "log.txt")).read()
     assert "initial accuracy" in log_text
     assert "robust accuracy after APGD-CE" in log_text
