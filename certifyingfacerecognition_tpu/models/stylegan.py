@@ -237,34 +237,29 @@ def _synthesis_tail_bc(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
         s0, s1 = _style(p, w_layer, c, dtype=dtype, prec=prec)
         return (s0.astype(jnp.float32) + 1.0), s1.astype(jnp.float32)
 
-    def block_bc(x_bc, block_params, wp, *, bi):
-        co = channels[bi]
-        p_up = block_params[f"layer{2 * bi - 2}"]
-        s0p1, s1 = styles(p_up, wp[:, 2 * bi - 2], co)
-        x_bc = bc.upconv_blur_epilogue_bc(
-            x_bc, p_up["tconv_kernel"], nb_of(p_up), s0p1, s1)
-
-        p_c = block_params[f"layer{2 * bi - 1}"]
-        k = (p_c["conv_weight"] * _wscale(co * 9)).astype(jnp.float32)
-        s0p1, s1 = styles(p_c, wp[:, 2 * bi - 1], co)
-        if bi < n_blocks:
-            return bc.conv_epilogue_bc(x_bc, k, nb_of(p_c), s0p1, s1)
-        po = block_params["output"]
-        w_rgb = (po["conv_weight"].reshape(co, 3)
-                 * (1.0 / math.sqrt(co))).astype(jnp.float32)
-        return bc.conv_epilogue_rgb_bc(x_bc, k, nb_of(p_c), s0p1, s1,
-                                       w_rgb, po["bias"])
-
-    x_bc = jnp.transpose(x, (1, 2, 3, 0))              # -> [H, W, C, B]
+    blocks = []
     for bi in range(bc_first, n_blocks + 1):
-        bp = {k: syn[k] for k in (f"layer{2 * bi - 2}",
-                                  f"layer{2 * bi - 1}")}
+        co = channels[bi]
+        p_up = syn[f"layer{2 * bi - 2}"]
+        p_c = syn[f"layer{2 * bi - 1}"]
+        s0p1_u, s1_u = styles(p_up, wp[:, 2 * bi - 2], co)
+        s0p1_c, s1_c = styles(p_c, wp[:, 2 * bi - 1], co)
+        blk = {
+            "k4": p_up["tconv_kernel"],
+            "up_nb": nb_of(p_up), "up_s0p1": s0p1_u, "up_s1": s1_u,
+            "k": (p_c["conv_weight"] * _wscale(co * 9)).astype(jnp.float32),
+            "conv_nb": nb_of(p_c), "conv_s0p1": s0p1_c, "conv_s1": s1_c,
+        }
         if bi == n_blocks:
-            bp["output"] = syn[f"output{len(channels) - 2}"]
-        x_bc = jax.checkpoint(
-            lambda x, bp, wp, bi=bi: block_bc(x, bp, wp, bi=bi),
-            static_argnums=())(x_bc, bp, wp)
-    return jnp.transpose(x_bc, (3, 1, 2, 0))           # [3,H,W,B]->[B,H,W,3]
+            po = syn[f"output{len(channels) - 2}"]
+            blk["w_rgb"] = (po["conv_weight"].reshape(co, 3)
+                            * (1.0 / math.sqrt(co))).astype(jnp.float32)
+            blk["b_rgb"] = po["bias"]
+        blocks.append(blk)
+
+    x_cb = jnp.transpose(x, (1, 2, 3, 0))              # -> [H, W, C, B]
+    img = bc.tail_chain_bc(x_cb, tuple(blocks))
+    return jnp.transpose(img, (3, 1, 2, 0))            # [3,H,W,B]->[B,H,W,3]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -190,27 +190,32 @@ def _w_rgb_packed(w_rgb, npx):
 # Shared kernel machinery
 # ---------------------------------------------------------------------------
 
-def _dma_tile(x_ref, scr, sem, i, j, *, nh, nw, th, tw):
-    """Copy tile (i, j) of x [H, W, C, B] plus 1-pixel halos into the
-    leading (th+2, tw+2) region of the scratch; out-of-image halos are
-    zero (the convs' zero padding). H/W are leading dims so DMA starts are
-    unconstrained; sizes must be static, hence one predicated copy per
-    edge case. The scratch may be wider than tw+2 (up-conv window slack) —
-    the extra columns only ever feed discarded outputs."""
-    edge = jnp.logical_or(jnp.logical_or(i == 0, i == nh - 1),
-                          jnp.logical_or(j == 0, j == nw - 1))
+def _dma_ops(x_ref, scr, sem, i, j, *, nh, nw, th, tw, start):
+    """Start (or wait for) the copy of tile (i, j) of x [H, W, C, B] plus
+    1-pixel halos into the leading (th+2, tw+2) region of the scratch
+    slot; out-of-image halos are zero (the convs' zero padding). H/W are
+    leading dims so DMA starts are unconstrained; sizes must be static,
+    hence one predicated copy per edge case (exactly one predicate fires
+    per tile). The scratch may be wider than tw+2 (up-conv window slack)
+    — the extra columns only ever feed discarded outputs."""
+    if start:
+        edge = jnp.logical_or(jnp.logical_or(i == 0, i == nh - 1),
+                              jnp.logical_or(j == 0, j == nw - 1))
 
-    @pl.when(edge)
-    def _():
-        scr[...] = jnp.zeros_like(scr)
+        @pl.when(edge)
+        def _():
+            scr[...] = jnp.zeros_like(scr)
 
     def axis_cases(idx, n, t):
+        # the interior/last starts are clamped so the dead branches stay
+        # well-formed when idx arrives as the python constant 0 (the g=0
+        # self-start of the double-buffered path)
+        lo = jnp.maximum(jnp.asarray(idx * t - 1), 0)
         if n == 1:
             return [(idx == 0, 0, 1, t)]
         return [(idx == 0, 0, 1, t + 1),
-                (idx == n - 1, idx * t - 1, 0, t + 1),
-                (jnp.logical_and(idx > 0, idx < n - 1), idx * t - 1, 0,
-                 t + 2)]
+                (idx == n - 1, lo, 0, t + 1),
+                (jnp.logical_and(idx > 0, idx < n - 1), lo, 0, t + 2)]
 
     for rpred, r0, rd, rs in axis_cases(i, nh, th):
         for cpred, c0, cd, cs in axis_cases(j, nw, tw):
@@ -219,8 +224,66 @@ def _dma_tile(x_ref, scr, sem, i, j, *, nh, nw, th, tw):
                 cp = pltpu.make_async_copy(
                     x_ref.at[pl.ds(r0, rs), pl.ds(c0, cs)],
                     scr.at[pl.ds(rd, rs), pl.ds(cd, cs)], sem)
-                cp.start()
-                cp.wait()
+                if start:
+                    cp.start()
+                else:
+                    cp.wait()
+
+
+def _dma_tile_db(x_ref, scr2, sems, g, *, nh, nw, th, tw):
+    """Double-buffered tile fetch over a FLAT grid index g: start the
+    first copy at g=0, prefetch tile g+1 into the other slot, then wait
+    for this tile's slot. Returns the ready slot's sub-ref. Hides the
+    HBM read latency under the tile's MXU/VPU work — the synchronous
+    version serialised ~12 ms of DMA per 1024^2 pass."""
+    slot = lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        _dma_ops(x_ref, scr2.at[0], sems.at[0], 0, 0,
+                 nh=nh, nw=nw, th=th, tw=tw, start=True)
+
+    @pl.when(g + 1 < nh * nw)
+    def _():
+        gn = g + 1
+        _dma_ops(x_ref, scr2.at[lax.rem(gn, 2)], sems.at[lax.rem(gn, 2)],
+                 gn // nw, lax.rem(gn, nw),
+                 nh=nh, nw=nw, th=th, tw=tw, start=True)
+
+    _dma_ops(x_ref, scr2.at[slot], sems.at[slot], g // nw, lax.rem(g, nw),
+             nh=nh, nw=nw, th=th, tw=tw, start=False)
+    return scr2.at[slot]
+
+
+def _affine_in_place(scr, aff_ref, i, j, *, nh, nw, th, tw):
+    """Chain mode: the producing layer wrote its activation RAW (before
+    instnorm+AdaIN); apply that deferred affine (aff_ref [2, Ci, B] f32)
+    to the freshly DMA'd tile in VMEM, then re-zero the out-of-image
+    halo ring (the convs' zero padding applies to the NORMALISED
+    activation, and 0*a+off != 0)."""
+    a = aff_ref[0].astype(scr.dtype)
+    off = aff_ref[1].astype(scr.dtype)
+    scr[...] = scr[:] * a[None, None] + off[None, None]
+
+    zrow = jnp.zeros_like(scr[0:1])
+
+    @pl.when(i == 0)
+    def _():
+        scr[0:1] = zrow
+
+    @pl.when(i == nh - 1)
+    def _():
+        scr[th + 1:th + 2] = zrow
+
+    zcol = jnp.zeros_like(scr[:, 0:1])
+
+    @pl.when(j == 0)
+    def _():
+        scr[:, 0:1] = zcol
+
+    @pl.when(j == nw - 1)
+    def _():
+        scr[:, tw + 1:tw + 2] = zcol
 
 
 def _lrelu(t):
@@ -320,27 +383,32 @@ def _blur_t(yb_ref, nb_ref, i, j, nh, nw, th, tw):
     def _():
         yb_ref[:, 2 * tw + 1:2 * tw + 2] = zcol
 
-    r = yb_ref[pl.ds(0, 2 * th + 2), pl.ds(0, 2 * tw + 2)].astype(
-        jnp.float32)
-    v = (r[0:2 * th] + 2.0 * r[1:2 * th + 1] + r[2:2 * th + 2]) * 0.25
-    h = (v[:, 0:2 * tw] + 2.0 * v[:, 1:2 * tw + 1]
-         + v[:, 2:2 * tw + 2]) * 0.25
-    return _lrelu(h + nb_ref[:].astype(jnp.float32)[:, :, :, None])
+    # blur arithmetic in the activation dtype (the XLA path's depthwise
+    # blur also emits bf16); only the epilogue sum is f32 — halves the
+    # VPU traffic on the largest tensors of the pipeline
+    r = yb_ref[pl.ds(0, 2 * th + 2), pl.ds(0, 2 * tw + 2)]
+    half = jnp.asarray(0.5, r.dtype)
+    quarter = jnp.asarray(0.25, r.dtype)
+    v = (r[0:2 * th] + r[2:2 * th + 2]) * quarter + r[1:2 * th + 1] * half
+    h = ((v[:, 0:2 * tw] + v[:, 2:2 * tw + 2]) * quarter
+         + v[:, 1:2 * tw + 1] * half)
+    return _lrelu(h.astype(jnp.float32)
+                  + nb_ref[:].astype(jnp.float32)[:, :, :, None])
 
 
 # ---------------------------------------------------------------------------
 # conv-half kernels
 # ---------------------------------------------------------------------------
 
-def _conv_stats_kernel(x_ref, w_ref, nb_ref, sums_ref, scr, sem,
+def _conv_stats_kernel(x_ref, w_ref, nb_ref, sums_ref, scr2, sems,
                        *, th, tw, nh, nw, ci, co):
-    i, j = pl.program_id(0), pl.program_id(1)
+    g = pl.program_id(0)
 
-    @pl.when(jnp.logical_and(i == 0, j == 0))
+    @pl.when(g == 0)
     def _():
         sums_ref[:] = jnp.zeros_like(sums_ref)
 
-    _dma_tile(x_ref, scr, sem, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    scr = _dma_tile_db(x_ref, scr2, sems, g, nh=nh, nw=nw, th=th, tw=tw)
     b = scr.shape[3]
 
     def consume(rb, t, carry):
@@ -354,10 +422,10 @@ def _conv_stats_kernel(x_ref, w_ref, nb_ref, sums_ref, scr, sem,
     sums_ref[1] += s2_
 
 
-def _conv_apply_kernel(x_ref, w_ref, nb_ref, coef_ref, out_ref, scr, sem,
+def _conv_apply_kernel(x_ref, w_ref, nb_ref, coef_ref, out_ref, scr2, sems,
                        *, th, tw, nh, nw, ci, co):
-    i, j = pl.program_id(0), pl.program_id(1)
-    _dma_tile(x_ref, scr, sem, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    g = pl.program_id(0)
+    scr = _dma_tile_db(x_ref, scr2, sems, g, nh=nh, nw=nw, th=th, tw=tw)
     b = scr.shape[3]
     a_c, off_c = coef_ref[0], coef_ref[1]                      # [co, B]
 
@@ -373,10 +441,10 @@ def _conv_apply_kernel(x_ref, w_ref, nb_ref, coef_ref, out_ref, scr, sem,
 
 
 def _conv_rgb_apply_kernel(x_ref, w_ref, nb_ref, coef_ref, wrgb_ref,
-                           brgb_ref, out_ref, scr, sem,
+                           brgb_ref, out_ref, scr2, sems,
                            *, th, tw, nh, nw, ci, co):
-    i, j = pl.program_id(0), pl.program_id(1)
-    _dma_tile(x_ref, scr, sem, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    g = pl.program_id(0)
+    scr = _dma_tile_db(x_ref, scr2, sems, g, nh=nh, nw=nw, th=th, tw=tw)
     b = scr.shape[3]
     a_c, off_c = coef_ref[0], coef_ref[1]
     wrgb = wrgb_ref[:]                                         # [24, 8co]
@@ -435,19 +503,19 @@ def _conv_impl(x, k_hwio, nb, s0p1, s1, eps, w_rgb=None, b_rgb=None):
     nbt = nb.astype(x.dtype)                                   # [H, W, Co]
 
     common = dict(th=th, tw=tw, nh=nh, nw=nw, ci=ci, co=co)
-    scratch = [pltpu.VMEM((th + 2, tw + 2, ci, b), x.dtype),
-               pltpu.SemaphoreType.DMA(())]
+    scratch = [pltpu.VMEM((2, th + 2, tw + 2, ci, b), x.dtype),
+               pltpu.SemaphoreType.DMA((2,))]
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    nb_spec = pl.BlockSpec((th, tw, co), lambda i, j: (i, j, 0),
+    nb_spec = pl.BlockSpec((th, tw, co), lambda g: (g // nw, g % nw, 0),
                            memory_space=pltpu.VMEM)
-    coef_spec = pl.BlockSpec((2, co, b), lambda i, j: (0, 0, 0),
+    coef_spec = pl.BlockSpec((2, co, b), lambda g: (0, 0, 0),
                              memory_space=pltpu.VMEM)
 
     sums = pl.pallas_call(
         functools.partial(_conv_stats_kernel, **common),
-        grid=(nh, nw),
+        grid=(nh * nw,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, nb_spec],
-        out_specs=pl.BlockSpec((2, co, b), lambda i, j: (0, 0, 0),
+        out_specs=pl.BlockSpec((2, co, b), lambda g: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, co, b), jnp.float32),
         scratch_shapes=scratch,
@@ -460,11 +528,11 @@ def _conv_impl(x, k_hwio, nb, s0p1, s1, eps, w_rgb=None, b_rgb=None):
     if w_rgb is None:
         return pl.pallas_call(
             functools.partial(_conv_apply_kernel, **common),
-            grid=(nh, nw),
+            grid=(nh * nw,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, nb_spec,
                       coef_spec],
             out_specs=pl.BlockSpec((th, tw, co, b),
-                                   lambda i, j: (i, j, 0, 0),
+                                   lambda g: (g // nw, g % nw, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((h, w, co, b), x.dtype),
             scratch_shapes=scratch,
@@ -477,11 +545,12 @@ def _conv_impl(x, k_hwio, nb, s0p1, s1, eps, w_rgb=None, b_rgb=None):
     # minor dims (W, B)).
     return pl.pallas_call(
         functools.partial(_conv_rgb_apply_kernel, **common),
-        grid=(nh, nw),
+        grid=(nh * nw,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, nb_spec,
                   coef_spec, pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((3, th, tw, b), lambda i, j: (0, i, j, 0),
+        out_specs=pl.BlockSpec((3, th, tw, b),
+                               lambda g: (0, g // nw, g % nw, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, h, w, b), x.dtype),
         scratch_shapes=scratch,
@@ -496,15 +565,16 @@ def _conv_impl(x, k_hwio, nb, s0p1, s1, eps, w_rgb=None, b_rgb=None):
 # up-half kernels
 # ---------------------------------------------------------------------------
 
-def _up_stats_kernel(x_ref, w_ref, nb_ref, sums_ref, scr, yb, sem,
+def _up_stats_kernel(x_ref, w_ref, nb_ref, sums_ref, scr2, yb, sems,
                      *, th, tw, nh, nw, ci, co):
-    i, j = pl.program_id(0), pl.program_id(1)
+    g = pl.program_id(0)
+    i, j = g // nw, lax.rem(g, nw)
 
-    @pl.when(jnp.logical_and(i == 0, j == 0))
+    @pl.when(g == 0)
     def _():
         sums_ref[:] = jnp.zeros_like(sums_ref)
 
-    _dma_tile(x_ref, scr, sem, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    scr = _dma_tile_db(x_ref, scr2, sems, g, nh=nh, nw=nw, th=th, tw=tw)
     b = scr.shape[3]
     _up_rows(scr, w_ref, th, tw, ci, co, b, yb)
     t = _blur_t(yb, nb_ref, i, j, nh, nw, th, tw)
@@ -512,10 +582,11 @@ def _up_stats_kernel(x_ref, w_ref, nb_ref, sums_ref, scr, yb, sem,
     sums_ref[1] += jnp.sum(t * t, axis=(0, 1))
 
 
-def _up_apply_kernel(x_ref, w_ref, nb_ref, coef_ref, out_ref, scr, yb, sem,
+def _up_apply_kernel(x_ref, w_ref, nb_ref, coef_ref, out_ref, scr2, yb, sems,
                      *, th, tw, nh, nw, ci, co):
-    i, j = pl.program_id(0), pl.program_id(1)
-    _dma_tile(x_ref, scr, sem, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    g = pl.program_id(0)
+    i, j = g // nw, lax.rem(g, nw)
+    scr = _dma_tile_db(x_ref, scr2, sems, g, nh=nh, nw=nw, th=th, tw=tw)
     b = scr.shape[3]
     _up_rows(scr, w_ref, th, tw, ci, co, b, yb)
     t = _blur_t(yb, nb_ref, i, j, nh, nw, th, tw)
@@ -555,18 +626,19 @@ def _up_impl(x, k4_hwio, nb, s0p1, s1, eps):
     nbt = nb.astype(x.dtype)                                   # [2H, 2W, Co]
 
     common = dict(th=th, tw=tw, nh=nh, nw=nw, ci=ci, co=co)
-    scratch = [pltpu.VMEM((th + 2, tw + 4, ci, b), x.dtype),
+    scratch = [pltpu.VMEM((2, th + 2, tw + 4, ci, b), x.dtype),
                pltpu.VMEM((2 * th + 2, 2 * tw + 4, co, b), x.dtype),
-               pltpu.SemaphoreType.DMA(())]
+               pltpu.SemaphoreType.DMA((2,))]
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    nb_spec = pl.BlockSpec((2 * th, 2 * tw, co), lambda i, j: (i, j, 0),
+    nb_spec = pl.BlockSpec((2 * th, 2 * tw, co),
+                           lambda g: (g // nw, g % nw, 0),
                            memory_space=pltpu.VMEM)
 
     sums = pl.pallas_call(
         functools.partial(_up_stats_kernel, **common),
-        grid=(nh, nw),
+        grid=(nh * nw,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, nb_spec],
-        out_specs=pl.BlockSpec((2, co, b), lambda i, j: (0, 0, 0),
+        out_specs=pl.BlockSpec((2, co, b), lambda g: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, co, b), jnp.float32),
         scratch_shapes=scratch,
@@ -578,12 +650,12 @@ def _up_impl(x, k4_hwio, nb, s0p1, s1, eps):
 
     return pl.pallas_call(
         functools.partial(_up_apply_kernel, **common),
-        grid=(nh, nw),
+        grid=(nh * nw,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, nb_spec,
-                  pl.BlockSpec((2, co, b), lambda i, j: (0, 0, 0),
+                  pl.BlockSpec((2, co, b), lambda g: (0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((2 * th, 2 * tw, co, b),
-                               lambda i, j: (i, j, 0, 0),
+                               lambda g: (g // nw, g % nw, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2 * h, 2 * w, co, b), x.dtype),
         scratch_shapes=scratch,
@@ -659,3 +731,300 @@ def _up_bwd(eps, res, g):
 
 
 upconv_blur_epilogue_bc.defvjp(_up_fwd, _up_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Chain mode: deferred-affine fused layers (ONE traversal per layer)
+#
+# Each layer's instnorm+AdaIN is an affine (a, off) per (C, B) computed
+# from that layer's t statistics. Instead of a second apply pass, t is
+# written to HBM RAW and the affine is applied by the NEXT layer's kernel
+# right after the tile DMA (a single in-VMEM traversal). A layer then
+# costs exactly read(in) + write(out) of HBM traffic — the >=512^2 tail
+# drops from XLA's ~45 GB to ~23 GB per batch. Only the final ToRGB layer
+# needs its own stats pass (its affine has no downstream reader).
+# ---------------------------------------------------------------------------
+
+def _up_fused_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref, out_ref,
+                     scr2, yb, sems, *, th, tw, nh, nw, ci, co):
+    g = pl.program_id(0)
+    i, j = g // nw, lax.rem(g, nw)
+
+    @pl.when(g == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    scr = _dma_tile_db(x_ref, scr2, sems, g, nh=nh, nw=nw, th=th, tw=tw)
+    _affine_in_place(scr, aff_ref, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    b = scr.shape[3]
+    _up_rows(scr, w_ref, th, tw, ci, co, b, yb)
+    t = _blur_t(yb, nb_ref, i, j, nh, nw, th, tw)
+    out_ref[...] = t.astype(out_ref.dtype)
+    sums_ref[0] += jnp.sum(t, axis=(0, 1))
+    sums_ref[1] += jnp.sum(t * t, axis=(0, 1))
+
+
+def _conv_fused_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref, out_ref,
+                       scr2, sems, *, th, tw, nh, nw, ci, co):
+    g = pl.program_id(0)
+    i, j = g // nw, lax.rem(g, nw)
+
+    @pl.when(g == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    scr = _dma_tile_db(x_ref, scr2, sems, g, nh=nh, nw=nw, th=th, tw=tw)
+    _affine_in_place(scr, aff_ref, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    b = scr.shape[3]
+    gr = _conv_group_rows(co)
+
+    def consume(rb, t, carry):
+        out_ref[pl.ds(rb * gr, gr)] = t.astype(out_ref.dtype)
+        return (carry[0] + jnp.sum(t, axis=(0, 1)),
+                carry[1] + jnp.sum(t * t, axis=(0, 1)))
+
+    body, n = _conv_groups(scr, w_ref, nb_ref, th, tw, ci, co, b, consume)
+    z = jnp.zeros((co, b), jnp.float32)
+    s1_, s2_ = lax.fori_loop(0, n, body, (z, z))
+    sums_ref[0] += s1_
+    sums_ref[1] += s2_
+
+
+def _conv_stats_aff_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref,
+                           scr2, sems, *, th, tw, nh, nw, ci, co):
+    g = pl.program_id(0)
+    i, j = g // nw, lax.rem(g, nw)
+
+    @pl.when(g == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    scr = _dma_tile_db(x_ref, scr2, sems, g, nh=nh, nw=nw, th=th, tw=tw)
+    _affine_in_place(scr, aff_ref, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    b = scr.shape[3]
+
+    def consume(rb, t, carry):
+        return (carry[0] + jnp.sum(t, axis=(0, 1)),
+                carry[1] + jnp.sum(t * t, axis=(0, 1)))
+
+    body, n = _conv_groups(scr, w_ref, nb_ref, th, tw, ci, co, b, consume)
+    z = jnp.zeros((co, b), jnp.float32)
+    s1_, s2_ = lax.fori_loop(0, n, body, (z, z))
+    sums_ref[0] += s1_
+    sums_ref[1] += s2_
+
+
+def _conv_rgb_aff_kernel(x_ref, w_ref, nb_ref, aff_ref, coef_ref, wrgb_ref,
+                         brgb_ref, out_ref, scr2, sems,
+                         *, th, tw, nh, nw, ci, co):
+    g = pl.program_id(0)
+    i, j = g // nw, lax.rem(g, nw)
+    scr = _dma_tile_db(x_ref, scr2, sems, g, nh=nh, nw=nw, th=th, tw=tw)
+    _affine_in_place(scr, aff_ref, i, j, nh=nh, nw=nw, th=th, tw=tw)
+    b = scr.shape[3]
+    a_c, off_c = coef_ref[0], coef_ref[1]
+    wrgb = wrgb_ref[:]
+    gr = _conv_group_rows(co)
+
+    def consume(rb, t, carry):
+        out = (t * a_c[None, None] + off_c[None, None]).astype(
+            out_ref.dtype)
+        tw_ = out.shape[1]
+        cols = []
+        for g2 in range(tw_ // 4):
+            chunk = out[:, g2 * 4:(g2 + 1) * 4]
+            v = jnp.dot(wrgb, chunk.reshape(gr * 4 * co, b),
+                        preferred_element_type=jnp.float32)
+            cols.append(v.reshape(gr, 4, 3, b))
+        rgb = jnp.concatenate(cols, axis=1)
+        rgb = rgb + brgb_ref[0][None, None, :, None]
+        rgb = jnp.transpose(rgb, (2, 0, 1, 3))
+        out_ref[:, pl.ds(rb * gr, gr)] = rgb.astype(out_ref.dtype)
+        return carry
+
+    body, n = _conv_groups(scr, w_ref, nb_ref, th, tw, ci, co, b, consume)
+    lax.fori_loop(0, n, body, 0)
+
+
+def _up_fused(x, k4_hwio, nb, aff, eps):
+    """One-traversal up layer: returns (t_raw [2H,2W,Co,B], sums [2,Co,B])."""
+    h, w, ci, b = x.shape
+    co = k4_hwio.shape[3]
+    th, tw = _pick_tiles_up(h, w, b, ci, co)
+    nh, nw = h // th, w // tw
+    wp = _w_up_packed(k4_hwio).astype(x.dtype)
+    nbt = nb.astype(x.dtype)
+    common = dict(th=th, tw=tw, nh=nh, nw=nw, ci=ci, co=co)
+    scratch = [pltpu.VMEM((2, th + 2, tw + 4, ci, b), x.dtype),
+               pltpu.VMEM((2 * th + 2, 2 * tw + 4, co, b), x.dtype),
+               pltpu.SemaphoreType.DMA((2,))]
+    sums, t_raw = pl.pallas_call(
+        functools.partial(_up_fused_kernel, **common),
+        grid=(nh * nw,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((2 * th, 2 * tw, co),
+                               lambda g: (g // nw, g % nw, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((2, ci, b), lambda g: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((2, co, b), lambda g: (0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((2 * th, 2 * tw, co, b),
+                                lambda g: (g // nw, g % nw, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((2, co, b), jnp.float32),
+                   jax.ShapeDtypeStruct((2 * h, 2 * w, co, b), x.dtype)],
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(x, wp, nbt, aff)
+    return t_raw, sums
+
+
+def _conv_fused(x, k_hwio, nb, aff, eps):
+    """One-traversal conv layer: returns (t_raw [H,W,Co,B], sums)."""
+    h, w, ci, b = x.shape
+    co = k_hwio.shape[3]
+    th, tw = _pick_tiles_conv(h, w, b, ci, co)
+    nh, nw = h // th, w // tw
+    wp = _w_conv_packed(k_hwio).astype(x.dtype)
+    nbt = nb.astype(x.dtype)
+    common = dict(th=th, tw=tw, nh=nh, nw=nw, ci=ci, co=co)
+    scratch = [pltpu.VMEM((2, th + 2, tw + 2, ci, b), x.dtype),
+               pltpu.SemaphoreType.DMA((2,))]
+    sums, t_raw = pl.pallas_call(
+        functools.partial(_conv_fused_kernel, **common),
+        grid=(nh * nw,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((th, tw, co), lambda g: (g // nw, g % nw, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((2, ci, b), lambda g: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((2, co, b), lambda g: (0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((th, tw, co, b),
+                                lambda g: (g // nw, g % nw, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((2, co, b), jnp.float32),
+                   jax.ShapeDtypeStruct((h, w, co, b), x.dtype)],
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(x, wp, nbt, aff)
+    return t_raw, sums
+
+
+def _conv_rgb_final(x, k_hwio, nb, aff, s0p1, s1, w_rgb, b_rgb, eps):
+    """Final conv layer: its affine has no downstream reader, so it keeps
+    the two-pass (stats, then apply fused with ToRGB) structure — with
+    the INPUT affine still applied on read. Returns [3, H, W, B]."""
+    h, w, ci, b = x.shape
+    co = k_hwio.shape[3]
+    th, tw = _pick_tiles_conv(h, w, b, ci, co)
+    nh, nw = h // th, w // tw
+    wp = _w_conv_packed(k_hwio).astype(x.dtype)
+    nbt = nb.astype(x.dtype)
+    common = dict(th=th, tw=tw, nh=nh, nw=nw, ci=ci, co=co)
+    scratch = [pltpu.VMEM((2, th + 2, tw + 2, ci, b), x.dtype),
+               pltpu.SemaphoreType.DMA((2,))]
+    aff_spec = pl.BlockSpec((2, ci, b), lambda g: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    nb_spec = pl.BlockSpec((th, tw, co), lambda g: (g // nw, g % nw, 0),
+                           memory_space=pltpu.VMEM)
+
+    sums = pl.pallas_call(
+        functools.partial(_conv_stats_aff_kernel, **common),
+        grid=(nh * nw,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM), nb_spec, aff_spec],
+        out_specs=pl.BlockSpec((2, co, b), lambda g: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, co, b), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(x, wp, nbt, aff)
+
+    coefs = _coefs_from_sums(sums, h * w, s0p1.T, s1.T, eps)
+
+    return pl.pallas_call(
+        functools.partial(_conv_rgb_aff_kernel, **common),
+        grid=(nh * nw,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM), nb_spec, aff_spec,
+                  pl.BlockSpec((2, co, b), lambda g: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, th, tw, b),
+                               lambda g: (0, g // nw, g % nw, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, h, w, b), x.dtype),
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(x, wp, nbt, aff, coefs,
+      _w_rgb_packed(w_rgb, 4 * _conv_group_rows(co)).astype(x.dtype),
+      jnp.asarray(b_rgb, jnp.float32).reshape(1, 3))
+
+
+def _chain_impl(x, blocks, eps):
+    b = x.shape[3]
+    aff = jnp.stack([jnp.ones((x.shape[2], b), jnp.float32),
+                     jnp.zeros((x.shape[2], b), jnp.float32)])
+    cur = x
+    for li, blk in enumerate(blocks):
+        cur, sums = _up_fused(cur, blk["k4"], blk["up_nb"], aff, eps)
+        n = cur.shape[0] * cur.shape[1]
+        aff = _coefs_from_sums(sums, n, blk["up_s0p1"].T, blk["up_s1"].T,
+                               eps)
+        if li < len(blocks) - 1:
+            cur, sums = _conv_fused(cur, blk["k"], blk["conv_nb"], aff, eps)
+            aff = _coefs_from_sums(sums, n, blk["conv_s0p1"].T,
+                                   blk["conv_s1"].T, eps)
+        else:
+            return _conv_rgb_final(cur, blk["k"], blk["conv_nb"], aff,
+                                   blk["conv_s0p1"], blk["conv_s1"],
+                                   blk["w_rgb"], blk["b_rgb"], eps)
+
+
+def _chain_ref(x, blocks, eps):
+    cur = x
+    for li, blk in enumerate(blocks):
+        cur = _upconv_ref(cur, blk["k4"], blk["up_nb"], blk["up_s0p1"],
+                          blk["up_s1"], eps)
+        if li < len(blocks) - 1:
+            cur = _conv_ref(cur, blk["k"], blk["conv_nb"], blk["conv_s0p1"],
+                            blk["conv_s1"], eps)
+        else:
+            return _conv_rgb_ref(cur, blk["k"], blk["conv_nb"],
+                                 blk["conv_s0p1"], blk["conv_s1"],
+                                 blk["w_rgb"], blk["b_rgb"], eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def tail_chain_bc(x, blocks, eps=1e-8):
+    """The whole >=512^2 tail as a chain of deferred-affine fused layers.
+
+    x [H, W, Ci, B] (the NORMALISED 256^2-block output in CB layout);
+    blocks: tuple of dicts with keys k4 [4,4,Ci,Co] (up-conv kernel),
+    up_nb [2H,2W,Co], up_s0p1/up_s1 [B,Co], k [3,3,Co,Co] (wscale
+    folded), conv_nb, conv_s0p1, conv_s1, and on the LAST block
+    w_rgb [Co,3] / b_rgb [3]. Returns the image [3, H_out, W_out, B]."""
+    return _chain_impl(x, blocks, eps)
+
+
+def _chain_fwd(x, blocks, eps):
+    return _chain_impl(x, blocks, eps), (x, blocks)
+
+
+def _chain_bwd(eps, res, g):
+    x, blocks = res
+    _, vjp = jax.vjp(lambda x, blocks: _chain_ref(x, blocks, eps), x,
+                     blocks)
+    return vjp(g)
+
+
+tail_chain_bc.defvjp(_chain_fwd, _chain_bwd)

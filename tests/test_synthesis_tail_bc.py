@@ -113,3 +113,56 @@ def test_upconv_gradient_matches_ref():
         bc._upconv_ref(x, k4, nb, s0p1, s1, 1e-8) ** 2))(x)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_tail_chain_matches_ref():
+    """Chain mode (deferred affines, one traversal per layer) must match
+    the XLA reference chain."""
+    b, ci, co = 8, 16, 8
+    h = 8
+    blocks = []
+    for li, (cin, cout) in enumerate([(ci, co), (co, co)]):
+        key = li * 10
+        blk = {
+            "k4": _mk((4, 4, cin, cout), key + 1, jnp.float32, 0.2),
+            "up_nb": _mk((2 * h, 2 * h, cout), key + 2),
+            "up_s0p1": _mk((b, cout), key + 3) + 1.0,
+            "up_s1": _mk((b, cout), key + 4),
+            "k": _mk((3, 3, cout, cout), key + 5, jnp.float32, 0.2),
+            "conv_nb": _mk((2 * h, 2 * h, cout), key + 6),
+            "conv_s0p1": _mk((b, cout), key + 7) + 1.0,
+            "conv_s1": _mk((b, cout), key + 8),
+        }
+        blocks.append(blk)
+        h *= 2
+    blocks[-1]["w_rgb"] = _mk((co, 3), 90, jnp.float32, 0.3)
+    blocks[-1]["b_rgb"] = _mk((3,), 91)
+    x = _mk((8, 8, ci, b), 0)
+    got = bc.tail_chain_bc(x, tuple(blocks))
+    want = bc._chain_ref(x, tuple(blocks), 1e-8)
+    assert got.shape == (3, 32, 32, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_tail_chain_gradient_matches_ref():
+    b, ci, co = 8, 8, 8
+    blk = {
+        "k4": _mk((4, 4, ci, co), 1, jnp.float32, 0.2),
+        "up_nb": _mk((16, 16, co), 2),
+        "up_s0p1": _mk((b, co), 3) + 1.0,
+        "up_s1": _mk((b, co), 4),
+        "k": _mk((3, 3, co, co), 5, jnp.float32, 0.2),
+        "conv_nb": _mk((16, 16, co), 6),
+        "conv_s0p1": _mk((b, co), 7) + 1.0,
+        "conv_s1": _mk((b, co), 8),
+        "w_rgb": _mk((co, 3), 9, jnp.float32, 0.3),
+        "b_rgb": _mk((3,), 10),
+    }
+    x = _mk((8, 8, ci, b), 0)
+    gp = jax.grad(lambda x: jnp.sum(
+        bc.tail_chain_bc(x, (blk,)) ** 2))(x)
+    gr = jax.grad(lambda x: jnp.sum(
+        bc._chain_ref(x, (blk,), 1e-8) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=5e-4, atol=5e-4)
