@@ -38,6 +38,43 @@ def device_sync(x=None) -> None:
                                   leaf[0]))
 
 
+def sync_overhead(reps: int = 5) -> float:
+    """Measured seconds of pure dispatch + host-pull overhead: a tiny
+    jitted op followed by device_sync. Through the axon tunnel this is
+    ~30 ms (round-2 measurement) — any standalone op timing that does not
+    subtract or amortise it is wrong by up to that much."""
+    import jax.numpy as jnp
+
+    e = jax.jit(lambda x: x * 1.0)
+    s = e(jnp.zeros((8, 128)))
+    device_sync(s)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s = e(s)
+        device_sync(s)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure(fn, *args, reps: int = 5, subtract_sync: bool = True) -> float:
+    """Best-of-``reps`` wall-clock seconds of ``fn(*args)`` with a real
+    device barrier, minus the measured sync floor (see sync_overhead).
+    ``fn`` should already be jitted; the first (compile) call is excluded.
+    Negative results are clamped to 0 (op faster than sync jitter)."""
+    out = fn(*args)
+    device_sync(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        device_sync(out)
+        best = min(best, time.perf_counter() - t0)
+    if subtract_sync:
+        best = max(0.0, best - sync_overhead())
+    return best
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """Capture a device trace under ``logdir`` (jax.profiler)."""

@@ -39,3 +39,19 @@ def test_trace_writes_profile(tmp_path):
             jnp.square(jnp.arange(128.0)).block_until_ready()
     files = glob.glob(osp.join(logdir, "**", "*.xplane.pb"), recursive=True)
     assert files, "no trace artifact written"
+
+
+def test_measure_subtracts_sync_floor():
+    """measure() returns ~0 for a trivial op (the sync floor dominates and
+    is subtracted), and a sane positive time for real work."""
+    import jax
+    import jax.numpy as jnp
+    from certifyingfacerecognition_tpu.utils import profiling
+
+    f = jax.jit(lambda x: x + 1.0)
+    t = profiling.measure(f, jnp.zeros((8, 128)))
+    assert 0.0 <= t < 0.05, t
+
+    g = jax.jit(lambda x: jnp.sin(x).sum())
+    t2 = profiling.measure(g, jnp.zeros((2048, 2048)), subtract_sync=False)
+    assert t2 > 0.0
