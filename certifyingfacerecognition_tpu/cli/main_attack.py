@@ -96,9 +96,10 @@ def main(argv=None) -> None:
     gen_params = W.load_generator_params(args.gen_weights,
                                          resolution=args.resolution)
     frm_params = W.load_frm_params(args.frm_weights, args.face_recog_method)
+    syn_res = args.synthesis_resolution or args.resolution
     pipeline = FacePipeline(gen_params, frm_params, dirs=region.dirs.T,
                             frs_method=args.face_recog_method,
-                            resolution=args.resolution, dtype=dtype)
+                            resolution=syn_res, dtype=dtype)
     embs = get_embs(args, pipeline, lat_codes)
     pipeline.gallery = jnp.asarray(embs)
 
@@ -108,12 +109,11 @@ def main(argv=None) -> None:
     # (main_attack.py:221-229); a single chunk index runs just that one.
     chunks_to_run = ([args.num_chunk] if args.num_chunk is not None
                      else range(args.chunks))
-    dists_fn = make_dists_fn(args.face_recog_method, args.resolution, dtype)
+    dists_fn = make_dists_fn(args.face_recog_method, syn_res, dtype)
     # Build the jitted programs ONCE — per-chunk jit wrappers would
     # recompile the full attack graph for every chunk.
     attack_step = _make_attack_step(dists_fn, region, args)
-    predict_fn = make_predict_fn(args.face_recog_method, args.resolution,
-                                 dtype)
+    predict_fn = make_predict_fn(args.face_recog_method, syn_res, dtype)
 
     def run_chunks():
         for num_chunk in chunks_to_run:

@@ -94,6 +94,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Identities per device attack step")
     parser.add_argument("--resolution", type=int, default=1024,
                         help="StyleGAN synthesis resolution")
+    parser.add_argument("--synthesis-resolution", type=int, default=None,
+                        help="Truncate synthesis at this resolution while "
+                             "loading --resolution weights (the FRM sees a "
+                             "112^2 resize either way; docs/PERF.md "
+                             "'Reduced-resolution certification'). Attack "
+                             "success/magnitudes then refer to the "
+                             "truncated pipeline; cached embeddings must "
+                             "match the same synthesis resolution.")
     parser.add_argument("--dtype", type=str, default="fp32",
                         choices=["fp32", "bf16"],
                         help="Compute dtype for the fused pipeline")

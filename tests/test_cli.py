@@ -198,3 +198,15 @@ def test_attack_autoattack_sequential(workdir, data_dir):
                              "log.txt")).read()
     assert "initial accuracy" in log_text
     assert "robust accuracy after APGD-CE" in log_text
+
+
+def test_attack_synthesis_resolution(workdir, data_dir):
+    """--synthesis-resolution truncates the pyramid while loading full
+    --resolution weights (reduced-resolution attack path)."""
+    main_attack.main(["--output-dir", "atk_sr", "--num-chunk", "0",
+                      "--data-dir", data_dir, "--chunks", "2",
+                      "--batch-size", "2", "--resolution", str(RES),
+                      "--synthesis-resolution", str(RES // 2),
+                      "--iters", "2", "--restarts", "1", "--seed", "1"])
+    logs = os.listdir(osp.join("exp_results", "atk_sr", "logs"))
+    assert "results_chunk0of2.txt" in logs
