@@ -15,24 +15,32 @@ tile applies to the minor two dims, so C<=64 channels sit in sublanes
 (compile-checked — Mosaic tiles HBM memrefs too). B must be a multiple
 of 128: partial lane tiles cannot be DMA'd.
 
-Compute formulation — "M-packed group dots". For 8 consecutive output
-pixels of one row, the 3x3 im2col window is 3 rows x 10 columns; a
-dynamic_slice [3, 10, C, B] of the haloed tile reshapes (one in-VMEM
-gather) to an rhs [30C, B] whose K dim sits on SUBLANES, and a
-block-structured weight W [8*Co, 30C] computes all 8 pixels in ONE MXU
-matmul: out rows (pixel-major) reshape [8, Co, B] straight into the
-[.., C, B] storage orientation. No minor-dim transposes, no 9-way
-lane-concatenation (the round-2 kernels spent ~15 ms/traversal there),
-and K = 480/960 with M = 8*Co = 128/256 keeps the MXU ~90% utilised at
-a 30/9 = 3.3x tap redundancy — far cheaper than idling 7/8 of the
-array on K = C taps. The up-conv packs the SAME way per output-row
-parity: each phase row is a [2, 6, C, B] window and an exact
-K = 12*Ci matmul (384/768 — no padding at all).
+Compute formulation — "M-packed group dots". A gr x 4 block of output
+pixels (gr = 2 when 8*Co <= 128, else 1) is computed as gr+2 MXU dots,
+one per window row: each rhs is the CONTIGUOUS [6*Ci, B] reshape of one
+haloed-tile row slice (K on sublanes, zero gather cost), against a
+block-structured lhs W[dr] [gr*4*Co, 6*Ci]. M = gr*4*Co = 128/256 fills
+the MXU's M tiles exactly and the result reshapes [gr, 4, Co, B]
+straight into the storage orientation. No minor-dim transposes, no
+9-way lane-concatenation (earlier cuts spent ~15 ms/traversal there),
+at a (gr+2)*6/9/gr tap redundancy (2x-2.7x) — far cheaper than idling
+7/8 of the MXU on K = C taps. The up-conv packs a 2x4 block of the
+blur-halo grid the same way: BOTH row parities of a yb row pair read
+the same two input rows, so each group is two exact K = 3*Ci dots.
+Groups are unrolled inside a per-row-block fori loop (a fori over
+individual groups paid ~50 ms of loop overhead per 1024^2 pass), and
+tile DMA is double-buffered (prefetch next tile during compute).
 
-Each half-layer is two streaming passes (moments, then apply) that
-recompute t = lrelu(conv(x) + noise*nw + bias) instead of materialising
-it: the input is read twice and the output written once — 3 traversals of
-HBM versus XLA's 5+ for the unfused chain, with zero layout conversions.
+Two per-layer structures exist:
+  * standalone half-layers (conv_epilogue_bc & co): two streaming passes
+    (moments, then apply) recomputing t = lrelu(conv(x) + noise*nw +
+    bias) — input read twice, output written once;
+  * chain mode (tail_chain_bc): ONE pass per layer — the activation is
+    written RAW and the folded instnorm+AdaIN affine is applied by the
+    NEXT layer's kernel right after its tile DMA (see the chain section
+    below). This halves the tail's HBM traffic vs XLA (~45 -> ~23 GB
+    per 128-batch); it still trails XLA end-to-end because a Pallas
+    kernel body serialises its DMA/VPU/MXU phases (docs/PERF.md).
 
 Math matches the reference chain exactly
 (stylegan_generator_model.py:227-322,441-463,538-565):
