@@ -465,8 +465,8 @@ def _conv_rgb_apply_kernel(x_ref, w_ref, nb_ref, coef_ref, wrgb_ref,
         # out [gr, tw, co, B] -> block-diagonal RGB dot per 4-col group
         tw_ = out.shape[1]
         cols = []
-        for g in range(tw_ // 4):
-            chunk = out[:, g * 4:(g + 1) * 4]          # [gr, 4, co, B]
+        for g2 in range(tw_ // 4):
+            chunk = out[:, g2 * 4:(g2 + 1) * 4]        # [gr, 4, co, B]
             v = jnp.dot(wrgb, chunk.reshape(gr * 4 * co, b),
                         preferred_element_type=jnp.float32)
             cols.append(v.reshape(gr, 4, 3, b))

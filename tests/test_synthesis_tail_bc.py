@@ -26,7 +26,8 @@ def _conv_args(h, w, b, ci, co, dtype=jnp.float32):
 
 @pytest.mark.parametrize("h,w,b,ci,co", [(16, 16, 8, 16, 16),
                                          (8, 32, 16, 8, 8),
-                                         (32, 8, 8, 8, 16)])
+                                         (32, 8, 8, 8, 16),
+                                         (16, 16, 8, 32, 32)])
 def test_conv_epilogue_matches_ref(h, w, b, ci, co):
     x, k, nb, s0p1, s1 = _conv_args(h, w, b, ci, co)
     got = bc.conv_epilogue_bc(x, k, nb, s0p1, s1)
@@ -49,7 +50,8 @@ def test_conv_epilogue_rgb_matches_ref():
 
 @pytest.mark.parametrize("h,w,b,ci,co", [(8, 8, 8, 16, 8),
                                          (16, 8, 8, 8, 16),
-                                         (8, 16, 16, 8, 8)])
+                                         (8, 16, 16, 8, 8),
+                                         (8, 8, 8, 64, 32)])
 def test_upconv_blur_epilogue_matches_ref(h, w, b, ci, co):
     x = _mk((h, w, ci, b), 0)
     k4 = _mk((4, 4, ci, co), 1, jnp.float32, 0.2)
