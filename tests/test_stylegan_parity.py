@@ -39,7 +39,9 @@ def _torch_model(resolution, sd_np):
     return model.eval()
 
 
-@pytest.mark.parametrize("resolution", [32, 128])
+# 256 covers TWO fused-transpose blocks back to back (the >=512^2 tail
+# structure at test scale)
+@pytest.mark.parametrize("resolution", [32, 128, 256])
 def test_full_generator_parity(resolution):
     import torch
 
