@@ -82,7 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "3-10x throughput (docs/PERF.md 'Reduced-"
                              "resolution certification'). Gallery embeddings "
                              "must be computed at the same synthesis "
-                             "resolution.")
+                             "resolution; the default cache name is then "
+                             "embs_<model>_sr<res>.npz (cfr-attack with the "
+                             "same --synthesis-resolution produces it).")
     parser.add_argument("--dtype", type=str, default="fp32",
                         choices=["fp32", "bf16"])
     parser.add_argument("--mesh", action="store_true", default=False,
@@ -109,8 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def load_gallery(args) -> np.ndarray:
+    # see cli/main_attack.get_embs: reduced-resolution embeddings get
+    # their own default cache name
+    sr = (f"_sr{args.synthesis_resolution}"
+          if args.synthesis_resolution else "")
     path = args.embs_file or osp.join(
-        args.data_dir, f"embs_{args.face_recog_model}.npz")
+        args.data_dir, f"embs_{args.face_recog_model}{sr}.npz")
     # mmap .npy galleries: at 1M x 512 (2 GB) the rows stream straight to
     # the device put instead of living twice in host RAM.
     embs = W.load_embeddings(path, mmap=True)

@@ -44,8 +44,14 @@ def get_embs(args, pipeline: FacePipeline, lat_codes: np.ndarray
     """Load cached gallery embeddings or compute+cache them
     (main_attack.py:134-216)."""
     log = args.LOGGER
+    # Reduced-resolution embeddings are NOT interchangeable with native
+    # ones; qualify the default cache name so --synthesis-resolution runs
+    # never silently reuse (or poison) the native cache. An explicit
+    # --embs-file is the user's responsibility.
+    sr = (f"_sr{args.synthesis_resolution}"
+          if args.synthesis_resolution else "")
     embs_file = args.embs_file or osp.join(
-        args.data_dir, f"embs_{args.face_recog_method}.npz")
+        args.data_dir, f"embs_{args.face_recog_method}{sr}.npz")
     if args.load_embs:
         log.info(f"Loading embeddings from {embs_file}")
         embs = W.load_embeddings(embs_file)[: args.load_n_embs]
