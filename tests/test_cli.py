@@ -74,7 +74,21 @@ def test_attack_chunks_and_eval_files(workdir, data_dir):
     assert "rate:" in results and "avg_mag:" in results
 
 
-def test_certify_tsv(workdir, data_dir):
+@pytest.fixture(scope="module")
+def embs_cache(data_dir):
+    """Certify loads (never computes) gallery embeddings, mirroring the
+    reference's load_embs=True path — build the cache explicitly instead
+    of depending on attack-test ordering."""
+    path = osp.join(data_dir, "embs_insightface.npz")
+    if not osp.isfile(path):
+        main_attack.main(["--output-dir", "embs_seed", "--num-chunk", "0",
+                          "--data-dir", data_dir, "--chunks", "4",
+                          "--batch-size", "1", "--resolution", str(RES),
+                          "--iters", "1", "--restarts", "1", "--seed", "9"])
+    return path
+
+
+def test_certify_tsv(workdir, data_dir, embs_cache):
     out = osp.join(workdir, "cert.tsv")
     certify.main(["--face-recog-model", "insightface", "--outfile", out,
                   "--sigma", "0.5", "--data-dir", data_dir,
@@ -98,7 +112,7 @@ def test_certify_tsv(workdir, data_dir):
     assert [r.split("\t")[0] for r in rows[1:]] == ["0", "1", "2"]
 
 
-def test_certify_sharded_gallery_mesh(workdir, data_dir):
+def test_certify_sharded_gallery_mesh(workdir, data_dir, embs_cache):
     out = osp.join(workdir, "cert_mesh.tsv")
     certify.main(["--face-recog-model", "insightface", "--outfile", out,
                   "--sigma", "0.5", "--data-dir", data_dir,
