@@ -107,7 +107,7 @@ def main():
             "certified_correct": sum(1 for i, (p, g) in enumerate(rows)
                                      if p == i),
             "abstain": sum(1 for p, _ in rows if p == -1),
-        }))
+        }), flush=True)
 
     base = results[native]
     for res in resolutions:
@@ -127,7 +127,8 @@ def main():
                                     "decision_agreement": round(
                                         float(dec_agree), 4),
                                     "gap_corr": gap_corr,
-                                    "n_both_certified": len(both)}}))
+                                    "n_both_certified": len(both)}}),
+              flush=True)
 
 
 if __name__ == "__main__":
