@@ -82,6 +82,16 @@ def main(argv=None) -> None:
     params = W.load_generator_params(args.weights, args.model_name,
                                      resolution=resolution)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if (resolution >= 512 and dtype == jnp.float32
+            and args.batch_size > 8 and args.generate_image):
+        # XLA lays small-channel conv activations out batch-minor (padded
+        # to 128 lanes); at f32/1024^2 a batch-20 forward already exceeds
+        # 16 GB HBM. The reference capped its generator micro-batch at 4
+        # for the same class of reason (model_settings.py:72).
+        logger.warning(
+            f"batch {args.batch_size} at {resolution}^2 in fp32 can exceed "
+            "16 GB HBM (batch-minor lane padding); if this OOMs use "
+            "--batch-size 8 or --dtype bf16")
 
     os.makedirs(osp.join(args.output_dir, "ims"), exist_ok=True)
 
