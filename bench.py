@@ -92,12 +92,18 @@ def main():
         keys = jax.random.split(jax.random.PRNGKey(seed), n_batches)
         return counts_fn(z, x, sigma, keys, valid)
 
-    run(0).block_until_ready()                    # compile + warm up
+    # block_until_ready is a no-op under the axon remote-execution tunnel
+    # (docs/PERF.md "round-2 corrections") — device_sync pulls one element,
+    # which is the only reliable barrier here. The ~30 ms pull cost is
+    # amortised over reps*n_batches*batch samples (<0.1% of the window).
+    from certifyingfacerecognition_tpu.utils.profiling import device_sync
+
+    device_sync(run(0))                           # compile + warm up
     t0 = time.perf_counter()
     reps = 3
     for r in range(1, reps + 1):
         c = run(r)
-    c.block_until_ready()
+    device_sync(c)
     dt = time.perf_counter() - t0
 
     samples = reps * n_batches * batch

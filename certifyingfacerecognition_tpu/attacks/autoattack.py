@@ -276,7 +276,11 @@ def run_standard_evaluation_individual(
             logits_fn, labels, sub, region, attacks_to_run=(name,),
             version=version, **kwargs)
         if logger is not None:
-            acc = out[name].robust_accuracy.get(name, 1.0)
+            # When clean accuracy is 0 the attack loop never runs and no
+            # per-attack entry exists — robust accuracy is then the clean
+            # accuracy (0%), not 100%.
+            acc = out[name].robust_accuracy.get(
+                name, out[name].robust_accuracy.get("clean", 1.0))
             logger.info(f"robust accuracy by {name.upper()} \t {acc:.2%} "
                         f"\t (time attack: {time.time() - t0:.1f} s)")
     return out

@@ -214,14 +214,32 @@ def main(argv=None) -> None:
     parent = osp.dirname(osp.abspath(args.outfile))
     os.makedirs(parent, exist_ok=True)
     done = set()
-    if args.resume and osp.isfile(args.outfile):
+    if args.resume:
         # Artifact-level resume: one TSV row per identity means a killed
         # job loses at most one (SURVEY.md §5); re-runs skip finished rows.
-        with open(args.outfile) as f:
-            for line in f:
-                cols = line.split("\t")
-                if cols and cols[0].isdigit():
-                    done.add(int(cols[0]))
+        if osp.isfile(args.outfile):
+            with open(args.outfile) as f:
+                for line in f:
+                    cols = line.split("\t")
+                    if cols and cols[0].isdigit():
+                        done.add(int(cols[0]))
+        if args.multihost and jax.process_count() > 1:
+            # Only process 0 writes the TSV, so on pods without a shared
+            # filesystem the other processes would see no file, skip
+            # nothing, and execute a DIFFERENT number of collective
+            # certify programs than process 0 — a guaranteed deadlock.
+            # Broadcast process 0's done set as a bitmask so every
+            # process runs the identical iteration sequence.
+            from jax.experimental import multihost_utils
+
+            mask = np.zeros((num_classes,), np.bool_)
+            for idx in done:
+                if idx < num_classes:
+                    mask[idx] = True
+            if jax.process_index() != 0:
+                mask[:] = False
+            mask = np.asarray(multihost_utils.broadcast_one_to_all(mask))
+            done = set(np.nonzero(mask)[0].tolist())
         print(f"Resuming: {len(done)} identities already certified")
     elif is_writer:
         with open(args.outfile, "w+") as f:

@@ -90,8 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Directory with w.npy latent codes")
     parser.add_argument("--boundaries-dir", type=str, default=None,
                         help="InterFaceGAN boundary .npy directory")
-    parser.add_argument("--batch-size", type=int, default=16,
-                        help="Identities per device attack step")
+    parser.add_argument("--batch-size", type=int, default=48,
+                        help="Identities per device attack step (48 is the "
+                             "measured backward-pass sweet spot at 1024^2 "
+                             "bf16 on a 16 GB chip — docs/PERF.md; 64 "
+                             "exceeds HBM)")
     parser.add_argument("--resolution", type=int, default=1024,
                         help="StyleGAN synthesis resolution")
     parser.add_argument("--synthesis-resolution", type=int, default=None,

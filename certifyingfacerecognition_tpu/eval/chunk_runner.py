@@ -145,10 +145,19 @@ def _make_attack_step(dists_fn: Callable, region: G.RegionMatrices, args
     from ..parallel.mesh import MC_AXIS, get_mesh
 
     # Largest device count that divides the batch.
-    n_dev = len(jax.devices())
+    n_all = len(jax.devices())
+    n_dev = n_all
     bs = getattr(args, "batch_size", n_dev)
     while bs % n_dev:
         n_dev -= 1
+    if n_dev != n_all:
+        # Match the plain --mesh attack path's documented contract instead
+        # of silently shrinking (e.g. batch 6 on 8 devices quietly ran on
+        # 3 of them).
+        print(f"WARNING: --batch-size {bs} does not divide the "
+              f"{n_all}-device count; attack mesh reduced to {n_dev} "
+              f"device(s) — pick a batch size divisible by {n_all} to use "
+              "the full mesh")
     mesh = get_mesh(MC_AXIS, n_devices=n_dev)
     repl = NamedSharding(mesh, P())
     row = NamedSharding(mesh, P(MC_AXIS))

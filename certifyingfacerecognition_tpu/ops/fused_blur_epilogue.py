@@ -183,7 +183,7 @@ def _moments(y2, noise2, bias_wc, m_onehot, *, c, th):
         kernel,
         grid=(n_tiles, B),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # y (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),                 # y (HBM)
             pl.BlockSpec((th, WC), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),                # noise
             pl.BlockSpec((th, WC), lambda i, b: (0, 0),
@@ -231,7 +231,7 @@ def _apply(y2, noise2, bias_wc, coefs, m_onehot, *, c, th):
         kernel,
         grid=(n_tiles, B),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((th, WC), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((th, WC), lambda i, b: (0, 0),

@@ -144,7 +144,7 @@ def _pallas_impl(y_t, noise_nw, bias, s0p1, s1, eps):
     sums = pl.pallas_call(
         functools.partial(_stats_kernel, **common),
         grid=(nh, nw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), nb_spec],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), nb_spec],
         out_specs=pl.BlockSpec((2, c, b), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, c, b), jnp.float32),
@@ -165,7 +165,7 @@ def _pallas_impl(y_t, noise_nw, bias, s0p1, s1, eps):
     return pl.pallas_call(
         functools.partial(_apply_kernel, **common),
         grid=(nh, nw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), nb_spec,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), nb_spec,
                   pl.BlockSpec((2, c, b), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((th, wt, c, b), lambda i, j: (i, j, 0, 0),

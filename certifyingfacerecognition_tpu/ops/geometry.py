@@ -351,18 +351,28 @@ def get_ellipse_mat(dirs: np.ndarray) -> np.ndarray:
 
 
 def default_boundaries_dir() -> str:
-    """Locate the InterFaceGAN boundary vectors (data artifacts, not code)."""
+    """Locate the InterFaceGAN boundary vectors (data artifacts, not code).
+
+    The 39 precomputed boundary files ship with this repo (boundaries/ at
+    the repo root — see boundaries/README.md for provenance), so a fresh
+    checkout is self-sufficient. Resolution order: CFR_BOUNDARIES_DIR env
+    override, ./boundaries relative to the CWD (a deployment's own set),
+    then the vendored set. Fails loudly otherwise — no silent fallback."""
+    vendored = osp.join(osp.dirname(osp.dirname(osp.dirname(
+        osp.abspath(__file__)))), "boundaries")
     cands = [
         os.environ.get("CFR_BOUNDARIES_DIR", ""),
         "boundaries",
-        "/root/reference/boundaries",
+        vendored,
     ]
     for c in cands:
         if c and osp.isdir(c):
             return c
     raise FileNotFoundError(
         "No boundaries directory found; set CFR_BOUNDARIES_DIR or create "
-        "./boundaries with {gan}_{dataset}_{attr}_w_boundary.npy files")
+        "./boundaries with {gan}_{dataset}_{attr}_w_boundary.npy files "
+        "(the vendored copies should be at " + vendored + " — see "
+        "boundaries/README.md; train new ones with ops/manipulator.py)")
 
 
 def get_projection_matrices(dataset: str = "ffhq", gan_name: str = "stylegan",

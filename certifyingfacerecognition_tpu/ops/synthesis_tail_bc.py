@@ -998,18 +998,26 @@ def _chain_impl(x, blocks, eps):
                                    blk["w_rgb"], blk["b_rgb"], eps)
 
 
-def _chain_ref(x, blocks, eps):
+def _chain_ref(x, blocks, eps, remat=False):
+    """XLA reference for the whole chain. remat=True mirrors the default
+    XLA path's memory discipline (models/stylegan._synthesis_block): each
+    half-layer of every >=512^2 block is its own jax.checkpoint, so the
+    chain backward holds one half-layer's activations instead of the whole
+    un-rematerialised tail (which OOMs 16 GB HBM at attack batch 32)."""
+    wrap = jax.checkpoint if remat else (lambda f: f)
+
     cur = x
     for li, blk in enumerate(blocks):
-        cur = _upconv_ref(cur, blk["k4"], blk["up_nb"], blk["up_s0p1"],
-                          blk["up_s1"], eps)
+        cur = wrap(lambda c, b: _upconv_ref(
+            c, b["k4"], b["up_nb"], b["up_s0p1"], b["up_s1"], eps))(cur, blk)
         if li < len(blocks) - 1:
-            cur = _conv_ref(cur, blk["k"], blk["conv_nb"], blk["conv_s0p1"],
-                            blk["conv_s1"], eps)
+            cur = wrap(lambda c, b: _conv_ref(
+                c, b["k"], b["conv_nb"], b["conv_s0p1"], b["conv_s1"],
+                eps))(cur, blk)
         else:
-            return _conv_rgb_ref(cur, blk["k"], blk["conv_nb"],
-                                 blk["conv_s0p1"], blk["conv_s1"],
-                                 blk["w_rgb"], blk["b_rgb"], eps)
+            return wrap(lambda c, b: _conv_rgb_ref(
+                c, b["k"], b["conv_nb"], b["conv_s0p1"], b["conv_s1"],
+                b["w_rgb"], b["b_rgb"], eps))(cur, blk)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -1030,8 +1038,8 @@ def _chain_fwd(x, blocks, eps):
 
 def _chain_bwd(eps, res, g):
     x, blocks = res
-    _, vjp = jax.vjp(lambda x, blocks: _chain_ref(x, blocks, eps), x,
-                     blocks)
+    _, vjp = jax.vjp(lambda x, blocks: _chain_ref(x, blocks, eps,
+                                                  remat=True), x, blocks)
     return vjp(g)
 
 

@@ -1,0 +1,150 @@
+"""Standalone timing harness for the Pallas synthesis-tail chain kernels.
+
+Times each chain-mode kernel (ops/synthesis_tail_bc.py) in isolation with
+``utils/profiling.measure`` (axon-safe sync, sync floor subtracted) and
+reports measured ms vs the kernel's HBM read+write traffic floor at the
+measured sustained bandwidth (~360 GB/s, docs/PERF.md). This is the tool
+behind PERF.md's per-layer chain table; re-run after any kernel change:
+
+    python -m certifyingfacerecognition_tpu.tools.tail_kernel_bench
+    python -m certifyingfacerecognition_tpu.tools.tail_kernel_bench --batch 128 --layers up1024
+
+Layers (all B=128 bf16 by default, 1024^2-config channel counts):
+    up512   : upconv_blur 256^2 x64 -> 512^2 x32   (chain-mode _up_fused)
+    conv512 : conv3x3 512^2 x32                    (chain-mode _conv_fused)
+    up1024  : upconv_blur 512^2 x32 -> 1024^2 x16  (chain-mode _up_fused)
+    rgb1024 : final conv3x3 + instnorm + ToRGB 1024^2 x16 (_conv_rgb_final)
+    chain   : the whole >=512^2 tail (tail_chain_bc)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HBM_GBPS = 360.0  # sustained, measured through this part (docs/PERF.md)
+
+
+def _rand(rng, shape, dtype=jnp.bfloat16, scale=1.0):
+    return jnp.asarray(rng.standard_normal(shape) * scale, dtype)
+
+
+def _mk_block(rng, ci, co, h2, with_rgb):
+    """Random chain-block param dict for an up(ci->co, H->h2) + conv(co)."""
+    blk = {
+        "k4": _rand(rng, (4, 4, ci, co), jnp.float32, 0.1),
+        "up_nb": _rand(rng, (h2, h2, co), jnp.float32, 0.1),
+        "up_s0p1": _rand(rng, (128, co), jnp.float32, 0.1) + 1.0,
+        "up_s1": _rand(rng, (128, co), jnp.float32, 0.1),
+        "k": _rand(rng, (3, 3, co, co), jnp.float32, 0.1),
+        "conv_nb": _rand(rng, (h2, h2, co), jnp.float32, 0.1),
+        "conv_s0p1": _rand(rng, (128, co), jnp.float32, 0.1) + 1.0,
+        "conv_s1": _rand(rng, (128, co), jnp.float32, 0.1),
+    }
+    if with_rgb:
+        blk["w_rgb"] = _rand(rng, (co, 3), jnp.float32, 0.3)
+        blk["b_rgb"] = _rand(rng, (3,), jnp.float32, 0.1)
+    return blk
+
+
+def build_cases(batch, dtype):
+    from ..ops import synthesis_tail_bc as bc
+
+    rng = np.random.default_rng(0)
+    b = batch
+    cases = {}
+
+    def floor_ms(nbytes):
+        return nbytes / (HBM_GBPS * 1e9) * 1e3
+
+    def aff(ci):
+        return jnp.stack([jnp.ones((ci, b), jnp.float32),
+                          jnp.zeros((ci, b), jnp.float32)])
+
+    # up512: 256^2 x 64 -> 512^2 x 32
+    x = _rand(rng, (256, 256, 64, b), dtype)
+    blk = _mk_block(rng, 64, 32, 512, False)
+
+    def up512(x, blk):
+        t, sums = bc._up_fused(x, blk["k4"], blk["up_nb"], aff(64), 1e-8)
+        return t, sums
+
+    cases["up512"] = (jax.jit(up512), (x, blk),
+                      floor_ms((256**2 * 64 + 512**2 * 32) * b * 2))
+
+    # conv512: 512^2 x 32
+    x = _rand(rng, (512, 512, 32, b), dtype)
+
+    def conv512(x, blk):
+        return bc._conv_fused(x, blk["k"], blk["conv_nb"], aff(32), 1e-8)
+
+    cases["conv512"] = (jax.jit(conv512), (x, blk),
+                        floor_ms(2 * 512**2 * 32 * b * 2))
+
+    # up1024: 512^2 x 32 -> 1024^2 x 16
+    x = _rand(rng, (512, 512, 32, b), dtype)
+    blk2 = _mk_block(rng, 32, 16, 1024, True)
+
+    def up1024(x, blk):
+        return bc._up_fused(x, blk["k4"], blk["up_nb"], aff(32), 1e-8)
+
+    cases["up1024"] = (jax.jit(up1024), (x, blk2),
+                       floor_ms((512**2 * 32 + 1024**2 * 16) * b * 2))
+
+    # rgb1024: final conv + stats + apply + ToRGB (reads x twice)
+    x = _rand(rng, (1024, 1024, 16, b), dtype)
+
+    def rgb1024(x, blk):
+        return bc._conv_rgb_final(x, blk["k"], blk["conv_nb"], aff(16),
+                                  blk["conv_s0p1"], blk["conv_s1"],
+                                  blk["w_rgb"], blk["b_rgb"], 1e-8)
+
+    cases["rgb1024"] = (jax.jit(rgb1024), (x, blk2),
+                        floor_ms((2 * 1024**2 * 16 + 1024**2 * 3) * b * 2))
+
+    # whole >=512 tail
+    x = _rand(rng, (256, 256, 64, b), dtype)
+    blocks = (_mk_block(rng, 64, 32, 512, False),
+              _mk_block(rng, 32, 16, 1024, True))
+
+    def chain(x, blocks):
+        return bc.tail_chain_bc(x, blocks)
+
+    tail_bytes = (256**2 * 64            # read chain input
+                  + 2 * 512**2 * 32 * 3  # up512 w, conv512 r+w... see note
+                  + 512**2 * 32          # up1024 reads conv512 out
+                  + 1024**2 * 16 * 3     # up1024 w + rgb reads x twice
+                  + 1024**2 * 3) * b * 2
+    cases["chain"] = (jax.jit(chain), (x, blocks), floor_ms(tail_bytes))
+    return cases
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--layers", type=str, default="all",
+                   help="comma list of up512,conv512,up1024,rgb1024,chain")
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--dtype", type=str, default="bf16")
+    args = p.parse_args(argv)
+
+    from ..utils.profiling import measure
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    cases = build_cases(args.batch, dtype)
+    names = (list(cases) if args.layers == "all"
+             else args.layers.split(","))
+    for name in names:
+        fn, inputs, floor = cases[name]
+        ms = measure(fn, *inputs, reps=args.reps) * 1e3
+        print(json.dumps({"layer": name, "ms": round(ms, 2),
+                          "floor_ms": round(floor, 2),
+                          "x_floor": round(ms / floor, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

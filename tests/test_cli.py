@@ -57,6 +57,7 @@ def test_generate_data_z_space(workdir):
     assert np.load(osp.join(out, "w.npy")).shape == (2, 512)
 
 
+@pytest.mark.slow
 def test_attack_chunks_and_eval_files(workdir, data_dir):
     common = ["--data-dir", data_dir, "--chunks", "2", "--batch-size", "2",
               "--resolution", str(RES), "--iters", "2", "--restarts", "1",
@@ -135,6 +136,7 @@ def test_generate_data_pggan(workdir):
     assert len(os.listdir(osp.join(out, "ims"))) == 2
 
 
+@pytest.mark.slow
 def test_attack_facenet_and_checks(workdir, data_dir):
     """FaceNet FRM path (cosine distances, 160px input) + the pre-attack
     defense check battery, through the CLI."""
@@ -196,6 +198,7 @@ def test_generate_data_wp_space_no_truncation(workdir):
         (np.clip(img[0], 0, 1) * 255).astype(np.uint8), png, atol=1)
 
 
+@pytest.mark.slow
 def test_attack_autoattack_sequential(workdir, data_dir):
     """--attack-type autoattack: the reference's run_standard_evaluation
     sequence (apgd-ce -> apgd-t -> fab-t -> square) with robust-flag

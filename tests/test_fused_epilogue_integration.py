@@ -6,9 +6,11 @@ chain rounds each elementwise op to bf16, and the difference amplifies
 through later blocks."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_bl_mode_synthesis_error_no_worse_than_xla_bf16(monkeypatch):
     from certifyingfacerecognition_tpu.models import stylegan
 

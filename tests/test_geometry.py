@@ -139,6 +139,26 @@ def test_mvee_contains_points():
     assert np.all(dist <= 1.0 + 1e-2)
 
 
+def test_vendored_boundaries_self_sufficient(tmp_path, monkeypatch):
+    """A fresh checkout resolves boundaries without any reference mount:
+    default_boundaries_dir falls back to the repo's vendored set (39 files,
+    incl. the 5 the default pipeline consumes) from any CWD."""
+    monkeypatch.chdir(tmp_path)            # no ./boundaries here
+    monkeypatch.delenv("CFR_BOUNDARIES_DIR", raising=False)
+    d = G.default_boundaries_dir()
+    assert os.path.isdir(d) and "reference" not in d
+    for attr in ("age", "eyeglasses", "gender", "pose", "smile"):
+        assert os.path.isfile(
+            os.path.join(d, f"stylegan_ffhq_{attr}_w_boundary.npy"))
+    if os.path.isdir("/root/reference/boundaries"):
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".npy"):
+                ours = np.load(os.path.join(d, f))
+                theirs = np.load(os.path.join(
+                    "/root/reference/boundaries", f))
+                np.testing.assert_array_equal(ours, theirs)
+
+
 @pytest.mark.skipif(not os.path.isdir("/root/reference"),
                     reason="reference repo not mounted")
 def test_projection_matrices_parity_with_reference():
@@ -154,8 +174,9 @@ def test_projection_matrices_parity_with_reference():
         os.chdir(cwd)
         sys.path.remove("/root/reference")
 
-    proj, ell, dirs, red, _ = G.get_projection_matrices(
-        boundaries_dir="/root/reference/boundaries")
+    # Built from the VENDORED boundaries — also proves the vendored data
+    # artifacts are equivalent to the reference's.
+    proj, ell, dirs, red, _ = G.get_projection_matrices()
     np.testing.assert_allclose(proj, ref_proj, atol=1e-8)
     np.testing.assert_allclose(dirs, ref_dirs, atol=0)
     np.testing.assert_allclose(red, ref_red, rtol=1e-6)

@@ -43,6 +43,7 @@ def test_init_distributed_passes_explicit_args(monkeypatch):
     assert calls == {}
 
 
+@pytest.mark.slow
 def test_certify_cli_multihost_wiring(monkeypatch, tmp_path):
     """--multihost must call jax.distributed.initialize before certifying
     and still produce the TSV (process_index 0 is the writer)."""

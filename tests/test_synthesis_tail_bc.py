@@ -117,6 +117,7 @@ def test_upconv_gradient_matches_ref():
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_tail_chain_matches_ref():
     """Chain mode (deferred affines, one traversal per layer) must match
     the XLA reference chain."""
@@ -147,6 +148,7 @@ def test_tail_chain_matches_ref():
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_tail_chain_gradient_matches_ref():
     b, ci, co = 8, 8, 8
     blk = {

@@ -5,9 +5,11 @@ tail keeps conv/blur/instnorm intermediates in f32 inside each kernel
 while the XLA chain rounds every op to bf16."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_bc_tail_synthesis_error_no_worse_than_xla_bf16(monkeypatch):
     from certifyingfacerecognition_tpu.models import stylegan
 
@@ -53,6 +55,7 @@ def test_bc_tail_f32_dtype_ignores_env(monkeypatch):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_bc_tail_gradient_close_to_plain_path(monkeypatch):
     """Attack gradients through the BC tail (custom_vjp -> XLA reference
     backward) must agree with the plain path's gradients."""
