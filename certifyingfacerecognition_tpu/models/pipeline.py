@@ -25,7 +25,7 @@ import numpy as np
 from . import facenet, iresnet, stylegan
 from ..constants import EMB_SIZE, INP_RESOLS, MEAN, STD
 from ..ops import distances as D
-from ..ops.resize import transform_for_frs
+from ..ops.resize import transform_for_frs, transform_for_frs_cb
 
 
 def frm_apply(frs_method: str, frm_params: Dict, x: jnp.ndarray, *,
@@ -42,11 +42,19 @@ def make_lat2embs(frs_method: str, resolution: int, dtype=jnp.float32
     """Returns embed(gen_params, frm_params, w [B,512]) -> [B,512] as one
     fused program (replaces gen_utils.py:108-139)."""
     img_size = INP_RESOLS[frs_method]
+    # When the Pallas chain tail is active, consume its native [3, H, W, B]
+    # image layout all the way to the 112^2/160^2 resize — the NHWC
+    # transpose of the full-resolution 3-channel image is the single most
+    # expensive op of the naive integration (docs/PERF.md round 3).
+    use_cb = stylegan.bc_tail_active(resolution, dtype)
 
     def embed(gen_params, frm_params, w):
         img = stylegan.synthesize_from_w(gen_params, w, resolution=resolution,
-                                         dtype=dtype)
-        x = transform_for_frs(img, img_size, MEAN, STD)
+                                         dtype=dtype, cb_out=use_cb)
+        if use_cb:
+            x = transform_for_frs_cb(img, img_size, MEAN, STD)
+        else:
+            x = transform_for_frs(img, img_size, MEAN, STD)
         return frm_apply(frs_method, frm_params, x, dtype=dtype)
 
     return embed

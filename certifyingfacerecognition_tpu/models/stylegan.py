@@ -161,12 +161,41 @@ def _blur_epilogue_fused_bl(p: Dict, x: jnp.ndarray, w_layer: jnp.ndarray,
     return jnp.transpose(out, (3, 0, 1, 2))
 
 
-def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
-                    dtype=jnp.float32) -> jnp.ndarray:
-    """W+ [B,L,512] -> image [B,H,W,3] in [-1, 1] (value range of the
-    trained model). Reference: stylegan_generator_model.py:331-395 (lod=0)."""
+def _bc_first_block(resolution: int, dtype) -> int:
+    """First synthesis block handled by the BC-layout Pallas tail, or
+    n_blocks+1 when the tail is off. Block bi's output resolution is
+    2^(bi+1); the cut point is CFR_TAIL_MIN_RES (default 512 — where the
+    XLA epilogues dominate), floored at the first fused-upconv block
+    (128^2). bf16 only; the f32 path stays pure-XLA for bit parity with
+    the torch reference."""
     import os
 
+    n_blocks = len(RESOLUTIONS_TO_CHANNELS[resolution]) - 1
+    if os.environ.get("CFR_TAIL", "") != "bc" or dtype != jnp.bfloat16:
+        return n_blocks + 1
+    min_res = int(os.environ.get("CFR_TAIL_MIN_RES", "512"))
+    return max(6, int(np.log2(min_res)) - 1)
+
+
+def bc_tail_active(resolution: int, dtype) -> bool:
+    """True when synthesis_apply will end in the Pallas chain tail — i.e.
+    when the pipeline can consume the image in the chain's native
+    [3, H, W, B] layout (cb_out=True) and skip the full-resolution
+    layout conversion."""
+    n_blocks = len(RESOLUTIONS_TO_CHANNELS[resolution]) - 1
+    return _bc_first_block(resolution, dtype) <= n_blocks
+
+
+def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
+                    dtype=jnp.float32, cb_out: bool = False) -> jnp.ndarray:
+    """W+ [B,L,512] -> image [B,H,W,3] in [-1, 1] (value range of the
+    trained model). Reference: stylegan_generator_model.py:331-395 (lod=0).
+
+    cb_out=True (only meaningful when bc_tail_active(...)) returns the
+    Pallas tail's native [3, H, W, B] layout instead — the NHWC transpose
+    of a 3-channel 1024^2 image is pathological on TPU (3 channels pad to
+    128 lanes) and consumers should resize straight from this layout
+    (ops/resize.transform_for_frs_cb)."""
     channels = RESOLUTIONS_TO_CHANNELS[resolution]
     syn = params["synthesis"]
     prec = nn.precision_for(dtype)
@@ -174,17 +203,9 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
     B = wp.shape[0]
 
     # The >=512^2 blocks can run as the BC-layout Pallas tail (one layout
-    # end-to-end, ToRGB fused — ops/synthesis_tail_bc.py). bf16 only; the
-    # f32 path stays pure-XLA for bit parity with the torch reference.
+    # end-to-end, ToRGB fused — ops/synthesis_tail_bc.py).
     n_blocks = len(channels) - 1
-    bc_first = n_blocks + 1
-    if os.environ.get("CFR_TAIL", "") == "bc" and dtype == jnp.bfloat16:
-        # First block handled by the Pallas tail: output resolution
-        # CFR_TAIL_MIN_RES (default 512 — where the XLA epilogues dominate),
-        # floored at the first fused-upconv block (128^2). Block bi's
-        # output resolution is 2^(bi+1) (block 1 still runs at 4^2).
-        min_res = int(os.environ.get("CFR_TAIL_MIN_RES", "512"))
-        bc_first = max(6, int(np.log2(min_res)) - 1)
+    bc_first = _bc_first_block(resolution, dtype)
 
     # layer0: learned constant + epilogue.
     p0 = syn["layer0"]
@@ -210,7 +231,7 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
     if bc_first <= n_blocks:
         return _synthesis_tail_bc(syn, x, wp, bc_first=bc_first,
                                   n_blocks=n_blocks, channels=channels,
-                                  dtype=dtype, prec=prec)
+                                  dtype=dtype, prec=prec, cb_out=cb_out)
 
     # Final ToRGB only (intermediate heads are dead work at lod=0).
     po = syn[f"output{len(channels) - 2}"]
@@ -223,7 +244,7 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
 
 def _synthesis_tail_bc(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
                        bc_first: int, n_blocks: int, channels, dtype,
-                       prec) -> jnp.ndarray:
+                       prec, cb_out: bool = False) -> jnp.ndarray:
     """Run blocks [bc_first..n_blocks] + the final ToRGB as the BC-layout
     Pallas tail (ops/synthesis_tail_bc.py): the activation enters
     [H, W, B, C] once and never changes layout until the RGB image."""
@@ -259,6 +280,8 @@ def _synthesis_tail_bc(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
 
     x_cb = jnp.transpose(x, (1, 2, 3, 0))              # -> [H, W, C, B]
     img = bc.tail_chain_bc(x_cb, tuple(blocks))
+    if cb_out:
+        return img                                     # [3, H, W, B]
     return jnp.transpose(img, (3, 1, 2, 0))            # [3,H,W,B]->[B,H,W,3]
 
 
@@ -368,14 +391,17 @@ def postprocess(images: jnp.ndarray, min_val: float = -1.0,
 def synthesize_from_w(params: Dict, w: jnp.ndarray, *, resolution: int,
                       dtype=jnp.float32,
                       truncation_psi: Optional[float] = STYLEGAN_TRUNCATION_PSI,
-                      truncation_layers: int = STYLEGAN_TRUNCATION_LAYERS
-                      ) -> jnp.ndarray:
+                      truncation_layers: int = STYLEGAN_TRUNCATION_LAYERS,
+                      cb_out: bool = False) -> jnp.ndarray:
     """W-space path used by the whole pipeline: truncation -> synthesis ->
-    postprocess. Returns [B,H,W,3] in [0,1]."""
+    postprocess. Returns [B,H,W,3] in [0,1] (or the chain tail's
+    [3,H,W,B] under cb_out=True — postprocess is elementwise, so it is
+    layout-agnostic)."""
     wp = truncation_apply(params, w, resolution=resolution,
                           truncation_psi=truncation_psi,
                           truncation_layers=truncation_layers)
-    img = synthesis_apply(params, wp, resolution=resolution, dtype=dtype)
+    img = synthesis_apply(params, wp, resolution=resolution, dtype=dtype,
+                          cb_out=cb_out)
     return postprocess(img)
 
 

@@ -140,20 +140,33 @@ def _w_conv_packed(k_hwio):
     Output pixel (dr2, mc) of the gr x 4 group sits at M rows
     (dr2*4+mc)*Co..+Co and convolves kernel row sr = dr - dr2 (when
     0 <= sr <= 2) at window cols mc..mc+2:
-    W[dr][(dr2*4+mc)*Co+o, (mc+s)*Ci+ci] = k[dr-dr2, s, ci, o]."""
+    W[dr][(dr2*4+mc)*Co+o, (mc+s)*Ci+ci] = k[dr-dr2, s, ci, o].
+
+    Built as one stack of concatenated blocks — the original element-wise
+    .at[].set construction lowered to ~100 serial scatter ops that cost
+    ~4-5 ms PER FORWARD inside the jitted pipeline (docs/PERF.md round 3).
+    """
     _, _, ci, co = k_hwio.shape
     gr = _conv_group_rows(co)
-    w = jnp.zeros((gr + 2, gr * 4 * co, 6 * ci), k_hwio.dtype)
-    for dr2 in range(gr):
-        for mc in range(4):
-            for sr in range(3):
-                blk = jnp.transpose(k_hwio[sr], (0, 2, 1))     # [3,Co,Ci]
-                for scol in range(3):
-                    col = (mc + scol) * ci
-                    m0 = (dr2 * 4 + mc) * co
-                    w = w.at[dr2 + sr, m0:m0 + co,
-                             col:col + ci].set(blk[scol])
-    return w
+    kT = jnp.transpose(k_hwio, (0, 1, 3, 2))           # [3, 3, Co, Ci]
+    zb = jnp.zeros((co, ci), k_hwio.dtype)
+
+    def mblock(dr, dr2, mc):
+        sr = dr - dr2
+        cols = []
+        for col in range(6):
+            scol = col - mc
+            if 0 <= sr <= 2 and 0 <= scol <= 2:
+                cols.append(kT[sr, scol])
+            else:
+                cols.append(zb)
+        return jnp.concatenate(cols, axis=1)           # [Co, 6*Ci]
+
+    return jnp.stack([
+        jnp.concatenate([mblock(dr, dr2, mc)
+                         for dr2 in range(gr) for mc in range(4)], axis=0)
+        for dr in range(gr + 2)
+    ])                                                 # [gr+2, gr4Co, 6Ci]
 
 
 def _w_up_packed(k4_hwio):
@@ -169,29 +182,30 @@ def _w_up_packed(k4_hwio):
     [3*Ci, B] reshape of tile cols 2g..2g+2:
     W[a][(rp*4+mc)*Co+o, (mc//2+b)*Ci+ci] = k4[2a+(1-rp), 2b+q, ci, o]."""
     _, _, ci, co = k4_hwio.shape
-    w = jnp.zeros((2, GROUP * co, 3 * ci), k4_hwio.dtype)
-    for a in range(2):
-        for rp in range(2):
-            p = 1 - rp
-            for mc in range(4):
-                q = (mc + 1) % 2
-                for b in range(2):
-                    c = mc // 2 + b
-                    blk = jnp.transpose(k4_hwio[2 * a + p, 2 * b + q],
-                                        (1, 0))                # [Co, Ci]
-                    m0 = (rp * 4 + mc) * co
-                    w = w.at[a, m0:m0 + co, c * ci:(c + 1) * ci].set(blk)
-    return w
+    kT = jnp.transpose(k4_hwio, (0, 1, 3, 2))          # [4, 4, Co, Ci]
+    zb = jnp.zeros((co, ci), k4_hwio.dtype)
+
+    def mblock(a, rp, mc):
+        p = 1 - rp
+        q = (mc + 1) % 2
+        cols = [zb, zb, zb]
+        for b in range(2):
+            cols[mc // 2 + b] = kT[2 * a + p, 2 * b + q]
+        return jnp.concatenate(cols, axis=1)           # [Co, 3*Ci]
+
+    return jnp.stack([
+        jnp.concatenate([mblock(a, rp, mc)
+                         for rp in range(2) for mc in range(4)], axis=0)
+        for a in range(2)
+    ])                                                 # [2, 8Co, 3Ci]
 
 
 def _w_rgb_packed(w_rgb, npx):
     """ToRGB [Co, 3] -> block-diagonal [npx*3, npx*Co] so a whole group's
     RGB is one dot against the [npx*Co, B]-flattened activation chunk."""
-    co = w_rgb.shape[0]
-    w = jnp.zeros((npx * 3, npx * co), w_rgb.dtype)
-    for m in range(npx):
-        w = w.at[m * 3:(m + 1) * 3, m * co:(m + 1) * co].set(w_rgb.T)
-    return w
+    import jax.scipy.linalg as jsl
+
+    return jsl.block_diag(*([w_rgb.T] * npx))
 
 
 # ---------------------------------------------------------------------------

@@ -29,8 +29,24 @@ import numpy as np
 HBM_GBPS = 360.0  # sustained, measured through this part (docs/PERF.md)
 
 
+class _DeviceRng:
+    """Generates test tensors ON THE DEVICE (jax.random) — the axon tunnel
+    uploads at ~30 MB/s, so host-generated multi-GB activations would
+    dominate the harness wall-clock."""
+
+    def __init__(self, seed):
+        self.key = jax.random.PRNGKey(seed)
+
+    def split(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+
 def _rand(rng, shape, dtype=jnp.bfloat16, scale=1.0):
-    return jnp.asarray(rng.standard_normal(shape) * scale, dtype)
+    # normal() directly in the target dtype: a f32 intermediate of the
+    # 1024^2 x 16 x 128 activation alone is 8.6 GB of the 16 GB HBM.
+    return jax.random.normal(rng.split(), shape, dtype) * jnp.asarray(
+        scale, dtype)
 
 
 def _mk_block(rng, ci, co, h2, with_rgb):
@@ -51,12 +67,12 @@ def _mk_block(rng, ci, co, h2, with_rgb):
     return blk
 
 
-def build_cases(batch, dtype):
+def build_case(name, batch, dtype):
+    """Build one named case lazily: (jitted_fn, inputs, floor_ms)."""
     from ..ops import synthesis_tail_bc as bc
 
-    rng = np.random.default_rng(0)
+    rng = _DeviceRng(0)
     b = batch
-    cases = {}
 
     def floor_ms(nbytes):
         return nbytes / (HBM_GBPS * 1e9) * 1e3
@@ -65,62 +81,67 @@ def build_cases(batch, dtype):
         return jnp.stack([jnp.ones((ci, b), jnp.float32),
                           jnp.zeros((ci, b), jnp.float32)])
 
-    # up512: 256^2 x 64 -> 512^2 x 32
-    x = _rand(rng, (256, 256, 64, b), dtype)
-    blk = _mk_block(rng, 64, 32, 512, False)
+    if name == "up512":                    # 256^2 x 64 -> 512^2 x 32
+        x = _rand(rng, (256, 256, 64, b), dtype)
+        blk = _mk_block(rng, 64, 32, 512, False)
 
-    def up512(x, blk):
-        t, sums = bc._up_fused(x, blk["k4"], blk["up_nb"], aff(64), 1e-8)
-        return t, sums
+        def up512(x, blk):
+            return bc._up_fused(x, blk["k4"], blk["up_nb"], aff(64), 1e-8)
 
-    cases["up512"] = (jax.jit(up512), (x, blk),
-                      floor_ms((256**2 * 64 + 512**2 * 32) * b * 2))
+        return (jax.jit(up512), (x, blk),
+                floor_ms((256**2 * 64 + 512**2 * 32) * b * 2))
 
-    # conv512: 512^2 x 32
-    x = _rand(rng, (512, 512, 32, b), dtype)
+    if name == "conv512":                  # 512^2 x 32
+        x = _rand(rng, (512, 512, 32, b), dtype)
+        blk = _mk_block(rng, 64, 32, 512, False)
 
-    def conv512(x, blk):
-        return bc._conv_fused(x, blk["k"], blk["conv_nb"], aff(32), 1e-8)
+        def conv512(x, blk):
+            return bc._conv_fused(x, blk["k"], blk["conv_nb"], aff(32), 1e-8)
 
-    cases["conv512"] = (jax.jit(conv512), (x, blk),
-                        floor_ms(2 * 512**2 * 32 * b * 2))
+        return (jax.jit(conv512), (x, blk),
+                floor_ms(2 * 512**2 * 32 * b * 2))
 
-    # up1024: 512^2 x 32 -> 1024^2 x 16
-    x = _rand(rng, (512, 512, 32, b), dtype)
-    blk2 = _mk_block(rng, 32, 16, 1024, True)
+    if name == "up1024":                   # 512^2 x 32 -> 1024^2 x 16
+        x = _rand(rng, (512, 512, 32, b), dtype)
+        blk2 = _mk_block(rng, 32, 16, 1024, True)
 
-    def up1024(x, blk):
-        return bc._up_fused(x, blk["k4"], blk["up_nb"], aff(32), 1e-8)
+        def up1024(x, blk):
+            return bc._up_fused(x, blk["k4"], blk["up_nb"], aff(32), 1e-8)
 
-    cases["up1024"] = (jax.jit(up1024), (x, blk2),
-                       floor_ms((512**2 * 32 + 1024**2 * 16) * b * 2))
+        return (jax.jit(up1024), (x, blk2),
+                floor_ms((512**2 * 32 + 1024**2 * 16) * b * 2))
 
-    # rgb1024: final conv + stats + apply + ToRGB (reads x twice)
-    x = _rand(rng, (1024, 1024, 16, b), dtype)
+    if name == "rgb1024":  # final conv + stats + apply + ToRGB (x read 2x)
+        x = _rand(rng, (1024, 1024, 16, b), dtype)
+        blk2 = _mk_block(rng, 32, 16, 1024, True)
 
-    def rgb1024(x, blk):
-        return bc._conv_rgb_final(x, blk["k"], blk["conv_nb"], aff(16),
-                                  blk["conv_s0p1"], blk["conv_s1"],
-                                  blk["w_rgb"], blk["b_rgb"], 1e-8)
+        def rgb1024(x, blk):
+            return bc._conv_rgb_final(x, blk["k"], blk["conv_nb"], aff(16),
+                                      blk["conv_s0p1"], blk["conv_s1"],
+                                      blk["w_rgb"], blk["b_rgb"], 1e-8)
 
-    cases["rgb1024"] = (jax.jit(rgb1024), (x, blk2),
-                        floor_ms((2 * 1024**2 * 16 + 1024**2 * 3) * b * 2))
+        return (jax.jit(rgb1024), (x, blk2),
+                floor_ms((2 * 1024**2 * 16 + 1024**2 * 3) * b * 2))
 
-    # whole >=512 tail
-    x = _rand(rng, (256, 256, 64, b), dtype)
-    blocks = (_mk_block(rng, 64, 32, 512, False),
-              _mk_block(rng, 32, 16, 1024, True))
+    if name == "chain":                    # whole >=512 tail
+        x = _rand(rng, (256, 256, 64, b), dtype)
+        blocks = (_mk_block(rng, 64, 32, 512, False),
+                  _mk_block(rng, 32, 16, 1024, True))
 
-    def chain(x, blocks):
-        return bc.tail_chain_bc(x, blocks)
+        def chain(x, blocks):
+            return bc.tail_chain_bc(x, blocks)
 
-    tail_bytes = (256**2 * 64            # read chain input
-                  + 2 * 512**2 * 32 * 3  # up512 w, conv512 r+w... see note
-                  + 512**2 * 32          # up1024 reads conv512 out
-                  + 1024**2 * 16 * 3     # up1024 w + rgb reads x twice
-                  + 1024**2 * 3) * b * 2
-    cases["chain"] = (jax.jit(chain), (x, blocks), floor_ms(tail_bytes))
-    return cases
+        tail_bytes = (256**2 * 64          # read chain input
+                      + 2 * 512**2 * 32 * 3  # up512 w, conv512 r+w
+                      + 512**2 * 32        # up1024 reads conv512 out
+                      + 1024**2 * 16 * 3   # up1024 w + rgb reads x twice
+                      + 1024**2 * 3) * b * 2
+        return (jax.jit(chain), (x, blocks), floor_ms(tail_bytes))
+
+    raise ValueError(f"unknown layer {name!r}")
+
+
+ALL_LAYERS = ("up512", "conv512", "up1024", "rgb1024", "chain")
 
 
 def main(argv=None):
@@ -135,15 +156,15 @@ def main(argv=None):
     from ..utils.profiling import measure
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    cases = build_cases(args.batch, dtype)
-    names = (list(cases) if args.layers == "all"
-             else args.layers.split(","))
+    names = (ALL_LAYERS if args.layers == "all"
+             else tuple(args.layers.split(",")))
     for name in names:
-        fn, inputs, floor = cases[name]
+        fn, inputs, floor = build_case(name, args.batch, dtype)
         ms = measure(fn, *inputs, reps=args.reps) * 1e3
         print(json.dumps({"layer": name, "ms": round(ms, 2),
                           "floor_ms": round(floor, 2),
                           "x_floor": round(ms / floor, 2)}), flush=True)
+        del fn, inputs
 
 
 if __name__ == "__main__":
