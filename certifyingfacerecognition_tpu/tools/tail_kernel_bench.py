@@ -132,7 +132,7 @@ def build_case(name, batch, dtype):
             return bc.tail_chain_bc(x, blocks)
 
         tail_bytes = (256**2 * 64          # read chain input
-                      + 2 * 512**2 * 32 * 3  # up512 w, conv512 r+w
+                      + 512**2 * 32 * 3    # up512 w, conv512 r+w
                       + 512**2 * 32        # up1024 reads conv512 out
                       + 1024**2 * 16 * 3   # up1024 w + rgb reads x twice
                       + 1024**2 * 3) * b * 2
@@ -151,6 +151,11 @@ def main(argv=None):
                    help="comma list of up512,conv512,up1024,rgb1024,chain")
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--dtype", type=str, default="bf16")
+    p.add_argument("--injit", type=int, default=0,
+                   help="run each case N times inside ONE jit (lax.scan "
+                        "with a varying input scale to defeat CSE) and "
+                        "divide — immune to the ~30 ms sync-floor noise "
+                        "that can distort per-call measure() numbers")
     args = p.parse_args(argv)
 
     from ..utils.profiling import measure
@@ -160,7 +165,32 @@ def main(argv=None):
              else tuple(args.layers.split(",")))
     for name in names:
         fn, inputs, floor = build_case(name, args.batch, dtype)
-        ms = measure(fn, *inputs, reps=args.reps) * 1e3
+        if args.injit:
+            n = args.injit
+            x0, rest = inputs[0], inputs[1:]
+
+            def scale_small(tree, c):
+                # Thread the carry through the SMALL param leaves only
+                # (kernel weights) — scaling the multi-GB activation or the
+                # 67 MB noise maps would add their own traffic to the
+                # measurement. This defeats XLA's loop-invariant hoisting.
+                return jax.tree.map(
+                    lambda lf: lf * c.astype(lf.dtype)
+                    if lf.size < 2**16 else lf, tree)
+
+            def rep_fn(x0, rest):
+                def step(c, _):
+                    out = fn.__wrapped__(x0, *scale_small(rest, c))
+                    lf = jax.tree_util.tree_leaves(out)[0]
+                    return c + lf.reshape(-1)[0].astype(jnp.float32) * 0, None
+
+                c, _ = jax.lax.scan(step, jnp.float32(1.0), None, length=n)
+                return c
+
+            ms = measure(jax.jit(rep_fn), x0, rest,
+                         reps=args.reps) * 1e3 / n
+        else:
+            ms = measure(fn, *inputs, reps=args.reps) * 1e3
         print(json.dumps({"layer": name, "ms": round(ms, 2),
                           "floor_ms": round(floor, 2),
                           "x_floor": round(ms / floor, 2)}), flush=True)
