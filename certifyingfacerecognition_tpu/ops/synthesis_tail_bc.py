@@ -970,7 +970,9 @@ def _up_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref, out_ref,
     z = jnp.zeros((co, b), jnp.float32)
     # Blur/epilogue column chunking: values stay <= ~2 MB so Mosaic keeps
     # them out of giant register spill slots (see _stream_setup note).
-    tcw = min(128, 2 * w)
+    # Scaled inversely with co — a fixed 128 at co=128 made 8.5 MB slice
+    # values and 43 MB of spill slots (VMEM OOM on the 128^2 layer).
+    tcw = min(2 * w, max(8, 2048 // co))
     ntc = (2 * w) // tcw
 
     def body(k, carry):
@@ -1013,18 +1015,27 @@ def _up_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref, out_ref,
     sums_ref[1] += s2_
 
 
-def _conv_stream_body(scr2, cur, wk, nb_ref, *, th, w, ci, co, b, cwg,
+def _conv_stream_body(scr2, cur, wk, nb_ref, ybc, *, th, w, ci, co, b, cwg,
                       consume):
-    """Flattened fori over (row block, column chunk) of cwg 4-col groups:
-    M-packed dots, noise+bias+lrelu in f32, then consume(r0, cc, t) per
-    CHUNK with t [gr, 4*cwg, co, b] f32. Chunk-sized (~1 MB) values are
-    small enough to stay out of slice-sized register spill slots, and
-    chunk offsets (multiples of 4*cwg >= 8) satisfy the sublane alignment
-    of any (w, ...)-minor operand."""
+    """Software-pipelined fori over (row block, column chunk) of cwg
+    4-col groups. Each iteration ISSUES chunk idx's M-packed MXU dots
+    into the f32 ring ybc[idx%2] and then VPU-processes chunk idx-1
+    (noise+bias+lrelu + consume(r0, cc, t)) out of the other slot — the
+    two halves are data-independent, so Mosaic's scheduler overlaps the
+    MXU dots with the previous chunk's VPU epilogue instead of
+    serialising them (the round-2 kernels' main loss; docs/PERF.md).
+    Chunk-sized (~1-2 MB) values stay out of slice-sized register spill
+    slots, and chunk offsets (multiples of 4*cwg >= 8) satisfy the
+    sublane alignment of any (w, ...)-minor operand.
+
+    Returns (prologue, body, epilogue, n): run prologue(), fori body over
+    [1, n) threading the carry, then epilogue(carry) for the last chunk.
+    """
     gr = _conv_group_rows(co)
     ncc = (w // 4) // cwg
+    n = (th // gr) * ncc
 
-    def body(idx, carry):
+    def dots(idx, slot):
         rb = idx // ncc
         cc = lax.rem(idx, ncc)
         r0 = rb * gr
@@ -1037,16 +1048,33 @@ def _conv_stream_body(scr2, cur, wk, nb_ref, *, th, w, ci, co, b, cwg,
                            ].reshape(6 * ci, b)
                 y += jnp.dot(wk[dr], rhs, preferred_element_type=jnp.float32)
             cols.append(y.reshape(gr, 4, co, b))
-        yb = jnp.concatenate(cols, axis=1)            # [gr, 4cwg, co, b]
+        ybc[slot] = jnp.concatenate(cols, axis=1)     # [gr, 4cwg, co, b]
+
+    def process(idx, slot, carry):
+        rb = idx // ncc
+        cc = lax.rem(idx, ncc)
+        r0 = rb * gr
         nbc = nb_ref[pl.ds(r0, gr), pl.ds(4 * cwg * cc, 4 * cwg)]
-        t = _lrelu(yb + nbc.astype(jnp.float32)[..., None])
+        t = _lrelu(ybc[slot] + nbc.astype(jnp.float32)[..., None])
         return consume(r0, cc, t, carry)
 
-    return body, (th // gr) * ncc
+    def prologue():
+        dots(0, 0)
+
+    def body(idx, carry):
+        slot = lax.rem(idx, 2)
+        dots(idx, slot)
+        return process(idx - 1, lax.rem(idx + 1, 2), carry)
+
+    def epilogue(carry):
+        return process(n - 1, lax.rem(n + 1, 2), carry)
+
+    return prologue, body, epilogue, n
 
 
 def _conv_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref, out_ref,
-                        scr2, sems, *, th, nh, w, ci, co, cwg, apply_aff):
+                        scr2, ybc, sems, *, th, nh, w, ci, co, cwg,
+                        apply_aff):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -1064,16 +1092,18 @@ def _conv_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref, out_ref,
         return (carry[0] + jnp.sum(t, axis=(0, 1)),
                 carry[1] + jnp.sum(t * t, axis=(0, 1)))
 
-    body, n = _conv_stream_body(scr2, cur, w_ref[:], nb_ref, th=th, w=w,
-                                ci=ci, co=co, b=b, cwg=cwg, consume=consume)
+    pro, body, epi, n = _conv_stream_body(
+        scr2, cur, w_ref[:], nb_ref, ybc, th=th, w=w, ci=ci, co=co, b=b,
+        cwg=cwg, consume=consume)
     z = jnp.zeros((co, b), jnp.float32)
-    s1_, s2_ = lax.fori_loop(0, n, body, (z, z))
+    pro()
+    s1_, s2_ = epi(lax.fori_loop(1, n, body, (z, z)))
     sums_ref[0] += s1_
     sums_ref[1] += s2_
 
 
 def _conv_stats_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref,
-                              scr2, sems, *, th, nh, w, ci, co, cwg,
+                              scr2, ybc, sems, *, th, nh, w, ci, co, cwg,
                               apply_aff):
     i = pl.program_id(0)
 
@@ -1089,16 +1119,18 @@ def _conv_stats_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref,
         return (carry[0] + jnp.sum(t, axis=(0, 1)),
                 carry[1] + jnp.sum(t * t, axis=(0, 1)))
 
-    body, n = _conv_stream_body(scr2, cur, w_ref[:], nb_ref, th=th, w=w,
-                                ci=ci, co=co, b=b, cwg=cwg, consume=consume)
+    pro, body, epi, n = _conv_stream_body(
+        scr2, cur, w_ref[:], nb_ref, ybc, th=th, w=w, ci=ci, co=co, b=b,
+        cwg=cwg, consume=consume)
     z = jnp.zeros((co, b), jnp.float32)
-    s1_, s2_ = lax.fori_loop(0, n, body, (z, z))
+    pro()
+    s1_, s2_ = epi(lax.fori_loop(1, n, body, (z, z)))
     sums_ref[0] += s1_
     sums_ref[1] += s2_
 
 
 def _conv_rgb_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, coef_ref,
-                            wrgb_ref, brgb_ref, out_ref, scr2, sems,
+                            wrgb_ref, brgb_ref, out_ref, scr2, ybc, sems,
                             *, th, nh, w, ci, co, cwg, apply_aff):
     i = pl.program_id(0)
     cur = _stream_setup(x_ref, scr2, sems, i, aff_ref, nh=nh, th=th, w=w,
@@ -1124,9 +1156,11 @@ def _conv_rgb_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, coef_ref,
             rgb.astype(out_ref.dtype))
         return carry
 
-    body, n = _conv_stream_body(scr2, cur, w_ref[:], nb_ref, th=th, w=w,
-                                ci=ci, co=co, b=b, cwg=cwg, consume=consume)
-    lax.fori_loop(0, n, body, 0)
+    pro, body, epi, n = _conv_stream_body(
+        scr2, cur, w_ref[:], nb_ref, ybc, th=th, w=w, ci=ci, co=co, b=b,
+        cwg=cwg, consume=consume)
+    pro()
+    epi(lax.fori_loop(1, n, body, 0))
 
 
 def _up_fused(x, k4_hwio, nb, aff, eps, *, apply_aff=True):
@@ -1173,7 +1207,7 @@ def _conv_fused(x, k_hwio, nb, aff, eps, *, apply_aff=True):
     co = k_hwio.shape[3]
     th = _pick_th_conv_s(h, w, b, ci, co)
     nh = h // th
-    cwg = _pick_cwg(w // 4)
+    cwg = _pick_cwg(w // 4, cap=max(2, 2048 // (4 * co)))
     wp = _w_conv_packed(k_hwio).astype(x.dtype)
     nbt = nb.astype(x.dtype)
 
@@ -1194,6 +1228,8 @@ def _conv_fused(x, k_hwio, nb, aff, eps, *, apply_aff=True):
         out_shape=[jax.ShapeDtypeStruct((2, co, b), jnp.float32),
                    jax.ShapeDtypeStruct((h, w, co, b), x.dtype)],
         scratch_shapes=[pltpu.VMEM((2, th + 2, w + 2, ci, b), x.dtype),
+                        pltpu.VMEM((2, _conv_group_rows(co), 4 * cwg, co,
+                                    b), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
@@ -1209,7 +1245,7 @@ def _conv_rgb_final(x, k_hwio, nb, aff, s0p1, s1, w_rgb, b_rgb, eps, *,
     [3, H, W, B]; the final Co-channel activation never touches HBM."""
     h, w, ci, b = x.shape
     co = k_hwio.shape[3]
-    cwg = _pick_cwg(w // 4)
+    cwg = _pick_cwg(w // 4, cap=max(2, 2048 // (4 * co)))
     wp = _w_conv_packed(k_hwio).astype(x.dtype)
     nbt = nb.astype(x.dtype)
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1229,6 +1265,8 @@ def _conv_rgb_final(x, k_hwio, nb, aff, s0p1, s1, w_rgb, b_rgb, eps, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, co, b), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, th + 2, w + 2, ci, b), x.dtype),
+                        pltpu.VMEM((2, _conv_group_rows(co), 4 * cwg, co,
+                                    b), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
@@ -1251,6 +1289,8 @@ def _conv_rgb_final(x, k_hwio, nb, aff, s0p1, s1, w_rgb, b_rgb, eps, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, h, w, b), x.dtype),
         scratch_shapes=[pltpu.VMEM((2, th + 2, w + 2, ci, b), x.dtype),
+                        pltpu.VMEM((2, _conv_group_rows(co), 4 * cwg, co,
+                                    b), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_compiler_params(),
         interpret=_interpret(),

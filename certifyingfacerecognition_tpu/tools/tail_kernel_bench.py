@@ -81,25 +81,32 @@ def build_case(name, batch, dtype):
         return jnp.stack([jnp.ones((ci, b), jnp.float32),
                           jnp.zeros((ci, b), jnp.float32)])
 
-    if name == "up512":                    # 256^2 x 64 -> 512^2 x 32
-        x = _rand(rng, (256, 256, 64, b), dtype)
-        blk = _mk_block(rng, 64, 32, 512, False)
+    if name.startswith("up") and name != "up1024":
+        # upconv_blur H^2 x ci -> (2H)^2 x co for the 1024-config channel
+        # ladder: up128 (64x256->128x128), up256 (128x128->256x64),
+        # up512 (256x64->512x32).
+        h2 = int(name[2:])
+        ci, co = {128: (256, 128), 256: (128, 64), 512: (64, 32)}[h2]
+        x = _rand(rng, (h2 // 2, h2 // 2, ci, b), dtype)
+        blk = _mk_block(rng, ci, co, h2, False)
 
-        def up512(x, blk):
-            return bc._up_fused(x, blk["k4"], blk["up_nb"], aff(64), 1e-8)
+        def up_case(x, blk):
+            return bc._up_fused(x, blk["k4"], blk["up_nb"], aff(ci), 1e-8)
 
-        return (jax.jit(up512), (x, blk),
-                floor_ms((256**2 * 64 + 512**2 * 32) * b * 2))
+        return (jax.jit(up_case), (x, blk),
+                floor_ms(((h2 // 2)**2 * ci + h2**2 * co) * b * 2))
 
-    if name == "conv512":                  # 512^2 x 32
-        x = _rand(rng, (512, 512, 32, b), dtype)
-        blk = _mk_block(rng, 64, 32, 512, False)
+    if name.startswith("conv") and name != "conv1024":
+        h = int(name[4:])
+        co = {128: 128, 256: 64, 512: 32}[h]
+        x = _rand(rng, (h, h, co, b), dtype)
+        blk = _mk_block(rng, 2 * co, co, h, False)
 
-        def conv512(x, blk):
-            return bc._conv_fused(x, blk["k"], blk["conv_nb"], aff(32), 1e-8)
+        def conv_case(x, blk):
+            return bc._conv_fused(x, blk["k"], blk["conv_nb"], aff(co), 1e-8)
 
-        return (jax.jit(conv512), (x, blk),
-                floor_ms(2 * 512**2 * 32 * b * 2))
+        return (jax.jit(conv_case), (x, blk),
+                floor_ms(2 * h**2 * co * b * 2))
 
     if name == "up1024":                   # 512^2 x 32 -> 1024^2 x 16
         x = _rand(rng, (512, 512, 32, b), dtype)
