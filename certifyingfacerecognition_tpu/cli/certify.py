@@ -85,6 +85,27 @@ def build_parser() -> argparse.ArgumentParser:
                              "resolution; the default cache name is then "
                              "embs_<model>_sr<res>.npz (cfr-attack with the "
                              "same --synthesis-resolution produces it).")
+    parser.add_argument("--cascade", action="store_true", default=False,
+                        help="Decision-safe reduced-resolution mode: run the "
+                             "MC loop at --synthesis-resolution, and any "
+                             "identity whose fast-path prediction matches its "
+                             "label is RE-CERTIFIED at the native "
+                             "--resolution before its row is written — every "
+                             "emitted correct/certified row is native-grade "
+                             "by construction, while rejections and "
+                             "abstentions (the bulk at paper-scale sigma) "
+                             "keep the 1.8-2.5x fast path. The reduced-"
+                             "resolution failure mode is one-sided over-"
+                             "certification (docs/PERF.md), which this "
+                             "construction eliminates; the residual "
+                             "deviation is conservative (a fast-path "
+                             "rejection the native model would certify "
+                             "loses that certification, never invents one).")
+    parser.add_argument("--native-embs-file", type=str, default=None,
+                        help="With --cascade: native-resolution gallery "
+                             "embeddings (defaults to embs_<model>.npz in "
+                             "--data-dir; --embs-file names the reduced-"
+                             "resolution gallery)")
     parser.add_argument("--dtype", type=str, default="fp32",
                         choices=["fp32", "bf16"])
     parser.add_argument("--mesh", action="store_true", default=False,
@@ -110,12 +131,12 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def load_gallery(args) -> np.ndarray:
+def load_gallery(args, synthesis_resolution=None,
+                 embs_file=None) -> np.ndarray:
     # see cli/main_attack.get_embs: reduced-resolution embeddings get
     # their own default cache name
-    sr = (f"_sr{args.synthesis_resolution}"
-          if args.synthesis_resolution else "")
-    path = args.embs_file or osp.join(
+    sr = f"_sr{synthesis_resolution}" if synthesis_resolution else ""
+    path = embs_file or osp.join(
         args.data_dir, f"embs_{args.face_recog_model}{sr}.npz")
     # mmap .npy galleries: at 1M x 512 (2 GB) the rows stream straight to
     # the device put instead of living twice in host RAM.
@@ -148,12 +169,17 @@ def main(argv=None) -> None:
     # identity, so the 1M-row file never has to fit in host RAM at once.
     dataset = np.load(osp.join(args.data_dir, "w.npy"), mmap_mode="r")
     dataset = dataset[: args.load_n_embs]
-    gallery = load_gallery(args)
+    gallery = load_gallery(args, args.synthesis_resolution, args.embs_file)
     assert len(gallery) == len(dataset), \
         f"{len(gallery)} embeddings vs {len(dataset)} latents"
     num_classes = dataset.shape[0]
     print(f"Found {num_classes} classes")
     print(f"Found {num_dirs} directions")
+
+    if args.cascade and not (args.synthesis_resolution
+                             and args.synthesis_resolution < args.resolution):
+        raise SystemExit("--cascade requires --synthesis-resolution below "
+                         "--resolution (it is the fast path being verified)")
 
     gallery_gb = gallery.size * 4 / 2**30
     if gallery_gb > 4.0 and not (args.mesh and args.mesh_id > 1):
@@ -170,10 +196,6 @@ def main(argv=None) -> None:
                                          resolution=args.resolution)
     frm_params = W.load_frm_params(args.frm_weights, args.face_recog_model)
     syn_res = args.synthesis_resolution or args.resolution
-    pipeline = FacePipeline(gen_params, frm_params, dirs=jnp.asarray(dirs),
-                            frs_method=args.face_recog_model,
-                            resolution=syn_res, dtype=dtype,
-                            gallery=jnp.asarray(gallery))
 
     # Sigma: scalar (isotropic) or per-attribute diagonal (certify.py:85-95).
     if args.anisotropic_sigma:
@@ -182,30 +204,49 @@ def main(argv=None) -> None:
         sigma = np.full((num_dirs,), args.sigma, np.float32)
 
     certificate = L2Certificate()
-    mesh, param_specs = None, None
+    mesh = None
     if args.mesh:
         if args.mesh_id > 1:
+            from ..parallel.mesh import get_2d_mesh
+
+            mesh = get_2d_mesh(len(jax.devices()) // args.mesh_id,
+                               args.mesh_id)
+        else:
+            mesh = get_mesh(MC_AXIS)
+
+    def build_smoothed(gallery_arr, resolution):
+        """FacePipeline + (optionally mesh-sharded) Smooth at a synthesis
+        resolution — built once for the main path, twice under --cascade
+        (fast reduced-resolution + native verifier)."""
+        pipe = FacePipeline(gen_params, frm_params, dirs=jnp.asarray(dirs),
+                            frs_method=args.face_recog_model,
+                            resolution=resolution, dtype=dtype,
+                            gallery=jnp.asarray(gallery_arr))
+        param_specs = None
+        if args.mesh and args.mesh_id > 1:
             from jax.sharding import PartitionSpec as P
 
             from ..parallel.gallery import make_sharded_gallery_predict_fn
-            from ..parallel.mesh import get_2d_mesh
 
-            n_dev = len(jax.devices())
-            mesh = get_2d_mesh(n_dev // args.mesh_id, args.mesh_id)
             predict_fn = make_sharded_gallery_predict_fn(
-                pipeline.embed_fn, jnp.asarray(dirs),
+                pipe.embed_fn, jnp.asarray(dirs),
                 method=args.face_recog_model)
             params = {"gen": gen_params, "frm": frm_params,
-                      "gallery": pipeline.gallery}
+                      "gallery": pipe.gallery}
             param_specs = {"gen": P(), "frm": P(), "gallery": P("id")}
         else:
-            mesh = get_mesh(MC_AXIS)
-            predict_fn, params = pipeline.predict_fn_with_params()
-    else:
-        predict_fn, params = pipeline.predict_fn_with_params()
-    smoothed = Smooth(predict_fn, num_classes, sigma, certificate,
+            predict_fn, params = pipe.predict_fn_with_params()
+        return Smooth(predict_fn, num_classes, sigma, certificate,
                       noise_dim=num_dirs, batch_size=args.batch_sz,
                       mesh=mesh, params=params, param_specs=param_specs)
+
+    smoothed = build_smoothed(gallery, syn_res)
+    smoothed_native = None
+    if args.cascade:
+        native_gallery = load_gallery(args, None, args.native_embs_file)
+        assert len(native_gallery) == num_classes, \
+            f"native gallery {len(native_gallery)} vs {num_classes} latents"
+        smoothed_native = build_smoothed(native_gallery, args.resolution)
 
     # Multihost: every process executes the same loop (the certify programs
     # are collective over the global mesh) but only process 0 owns the TSV.
@@ -258,8 +299,21 @@ def main(argv=None) -> None:
             continue
         z = dataset[i]
         before = time()
+        key_i = jax.random.fold_in(key, i)
+        # Cascade key discipline: the fast pass uses a DERIVED key so its
+        # outcome (the selection event) is independent of the native pass's
+        # noise — otherwise the Clopper-Pearson bound of the re-run would be
+        # conditioned on a correlated event. The native pass uses exactly
+        # the key a plain native run would (fold_in(key, i)), so every
+        # cascade-emitted certification is bit-identical to that run's row
+        # (tests/test_cli.py::test_certify_cascade asserts this).
+        k_fast = (jax.random.fold_in(key_i, 1)
+                  if smoothed_native is not None else key_i)
         prediction, gap = smoothed.certify(
-            z, x, i, args.N0, args.N, args.alpha, jax.random.fold_in(key, i))
+            z, x, i, args.N0, args.N, args.alpha, k_fast)
+        if smoothed_native is not None and prediction == i:
+            prediction, gap = smoothed_native.certify(
+                z, x, i, args.N0, args.N, args.alpha, key_i)
         elapsed = str(datetime.timedelta(seconds=time() - before))
         correct = int(prediction == i)
         radius = float(np.min(sigma)) * gap

@@ -97,7 +97,7 @@ def main():
         n_timed = n_ids - 1
         elapsed = time.time() - t_start
         sps = samples / elapsed
-        results[res] = rows
+        results[res] = (rows, elapsed, samples)
         print(json.dumps({
             "resolution": res,
             "ids": n_ids, "N": N, "N0": N0, "sigma": sigma_v,
@@ -109,11 +109,11 @@ def main():
             "abstain": sum(1 for p, _ in rows if p == -1),
         }), flush=True)
 
-    base = results[native]
+    base, base_elapsed, base_samples = results[native]
     for res in resolutions:
         if res == native:
             continue
-        cur = results[res]
+        cur, cur_elapsed, cur_samples = results[res]
         dec_agree = np.mean([
             (p == i and bp == i) or (p != i and bp != i)
             for i, ((p, _), (bp, _)) in enumerate(zip(cur, base))])
@@ -129,6 +129,31 @@ def main():
                                     "gap_corr": gap_corr,
                                     "n_both_certified": len(both)}}),
               flush=True)
+
+        # --cascade simulation (cli/certify.py): identities whose FAST
+        # prediction matches the label are re-certified at native
+        # resolution and emit the native row; everything else keeps the
+        # fast row. Certified-row agreement with the native run is 100%
+        # BY CONSTRUCTION; the only residual deviation is conservative
+        # (fast-path rejections the native model would certify), counted
+        # below. Blended throughput charges the native re-run per
+        # triggering identity at the measured native per-id cost.
+        frac = np.mean([p == i for i, (p, _) in enumerate(cur)])
+        blended_elapsed = cur_elapsed + frac * base_elapsed
+        blended_samples = cur_samples + frac * base_samples
+        lost = sum(1 for i, ((p, _), (bp, bg))
+                   in enumerate(zip(cur, base))
+                   if p != i and bp == i and bg > 0)
+        print(json.dumps({
+            "cascade": {"resolution": res,
+                        "native_recert_fraction": round(float(frac), 4),
+                        "blended_samples_per_sec": round(
+                            blended_samples / blended_elapsed, 1),
+                        "speedup_vs_native": round(
+                            (blended_samples / blended_elapsed)
+                            / (base_samples / base_elapsed), 2),
+                        "certified_row_agreement": 1.0,
+                        "lost_certifications": lost}}), flush=True)
 
 
 if __name__ == "__main__":

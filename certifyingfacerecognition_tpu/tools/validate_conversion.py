@@ -1,0 +1,182 @@
+"""Real-weight conversion validation (one command, weights-equipped deploys).
+
+Every golden test in this repo runs on random weights because the official
+snapshots are not available in the build environment. This tool is the
+missing last mile: given a REAL official pkl, it
+
+  1. md5-fingerprints the file against the snapshot the reference pipeline
+     documents (/root/reference/README.md:28-34, models/model_settings.py);
+  2. converts it with the in-repo stub unpickler (tools/pkl_converter.py —
+     no TensorFlow needed);
+  3. loads the converted weights into the JAX generator and synthesizes
+     ``--test-num`` images at FULL resolution;
+  4. if PyTorch and the reference repo are importable, builds the reference
+     torch generator from the SAME converted state dict and reports the
+     mean/max abs output distance — the analogue of the reference's own
+     conversion self-test (mod_stylegan_generator.py:116-132), but against
+     the JAX implementation.
+
+Usage:
+    python -m certifyingfacerecognition_tpu.tools.validate_conversion \
+        --pkl models/pretrain/karras2019stylegan-ffhq-1024x1024.pkl \
+        [--model stylegan_ffhq] [--resolution 1024] [--test-num 4] \
+        [--reference /root/reference] [--out converted.npz]
+
+Exit code 0 with one JSON verdict line on success; non-zero on fingerprint
+mismatch (override with --allow-unknown-pkl) or parity failure.
+
+Known official snapshot fingerprints (md5):
+  karras2019stylegan-ffhq-1024x1024.pkl      5a20ed46ea6494a9e969db2f6b97a88a
+      (documented by the reference, README.md:28-34)
+  backbone.pth  (ms1mv3_arcface_r50, fp16)   b9b1f8b29151d5564f1be869cc26bd23
+      (ArcFace FRM — validate via utils/weights.load_frm_params +
+       tests/test_iresnet_parity.py machinery, not this tool)
+  karras2018iclr-celebahq-1024x1024.pkl      (PGGAN; no md5 published by
+      the reference — pass --allow-unknown-pkl)
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+
+KNOWN_MD5 = {
+    "5a20ed46ea6494a9e969db2f6b97a88a": "karras2019stylegan-ffhq-1024x1024",
+}
+
+
+def md5_file(path: str, chunk: int = 1 << 20) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--pkl", required=True)
+    p.add_argument("--model", default="stylegan_ffhq",
+                   choices=["stylegan_ffhq", "stylegan_celebahq",
+                            "pggan_celebahq"])
+    p.add_argument("--resolution", type=int, default=1024)
+    p.add_argument("--test-num", type=int, default=4,
+                   help="latents compared (reference uses 10, "
+                        "mod_stylegan_generator.py:117)")
+    p.add_argument("--reference", default="/root/reference",
+                   help="reference repo for the torch-side comparison; "
+                        "skipped when absent")
+    p.add_argument("--out", default=None,
+                   help="save the converted state dict (.npz)")
+    p.add_argument("--allow-unknown-pkl", action="store_true")
+    p.add_argument("--atol", type=float, default=5e-4,
+                   help="max abs output diff tolerance (bf16-free f32 "
+                        "forward; the reference logs ~1e-5 distances for "
+                        "its own TF->torch conversion)")
+    args = p.parse_args(argv)
+
+    verdict = {"pkl": args.pkl, "model": args.model}
+
+    digest = md5_file(args.pkl)
+    verdict["md5"] = digest
+    verdict["known_snapshot"] = KNOWN_MD5.get(digest)
+    if digest not in KNOWN_MD5 and not args.allow_unknown_pkl:
+        verdict["status"] = "UNKNOWN_PKL"
+        print(json.dumps(verdict))
+        print("md5 not in the documented snapshot table; re-run with "
+              "--allow-unknown-pkl to validate anyway", file=sys.stderr)
+        return 2
+
+    from . import pkl_converter as PC
+
+    tf_vars = PC.load_pkl_variables(args.pkl)
+    if args.model.startswith("stylegan"):
+        sd = PC.tf_vars_to_torch_state_dict(tf_vars, args.resolution)
+    else:
+        sd = PC.pggan_tf_vars_to_torch_state_dict(tf_vars, args.resolution)
+    verdict["converted_leaves"] = len(sd)
+    if args.out:
+        np.savez(args.out, **{k: np.asarray(v) for k, v in sd.items()})
+        verdict["out"] = args.out
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    if args.model.startswith("stylegan"):
+        from ..models import stylegan as sg
+
+        params = sg.convert_torch_state_dict(sd, args.resolution)
+        L = sg.num_layers(args.resolution)
+        wp = rng.standard_normal((args.test_num, L, 512)).astype(np.float32)
+        got = np.asarray(sg.synthesis_apply(params, jnp.asarray(wp),
+                                            resolution=args.resolution))
+        got = np.transpose(got, (0, 3, 1, 2))                     # NCHW
+    else:
+        from ..models import pggan as pg
+
+        params = pg.convert_torch_state_dict(sd, args.resolution)
+        z = rng.standard_normal((args.test_num, 512)).astype(np.float32)
+        z = np.asarray(pg.preprocess_z(jnp.asarray(z)))
+        got = np.asarray(pg.apply(params, jnp.asarray(z),
+                                  resolution=args.resolution))
+        got = np.transpose(got, (0, 3, 1, 2))
+    verdict["jax_output_shape"] = list(got.shape)
+    verdict["jax_output_std"] = float(np.std(got))
+
+    ref_dir = args.reference
+    have_ref = os.path.isdir(ref_dir)
+    try:
+        import torch
+    except Exception:
+        torch = None
+    if have_ref and torch is not None:
+        if ref_dir not in sys.path:
+            sys.path.insert(0, ref_dir)
+        with torch.no_grad():
+            if args.model.startswith("stylegan"):
+                from models.stylegan_generator_model import (
+                    StyleGANGeneratorModel)
+
+                model = StyleGANGeneratorModel(
+                    resolution=args.resolution, fused_scale="auto",
+                    truncation_psi=0.7, truncation_layers=8,
+                    randomize_noise=False).eval()
+                model.load_state_dict(
+                    {k: torch.from_numpy(np.asarray(v))
+                     for k, v in sd.items()}, strict=False)
+                ref = model.synthesis(torch.from_numpy(wp)).numpy()
+            else:
+                from models.pggan_generator_model import PGGANGeneratorModel
+
+                # fused_scale=False per the reference registry
+                # (model_settings.py:31).
+                model = PGGANGeneratorModel(
+                    resolution=args.resolution, fused_scale=False).eval()
+                model.load_state_dict(
+                    {k: torch.from_numpy(np.asarray(v))
+                     for k, v in sd.items()}, strict=False)
+                ref = model(torch.from_numpy(z)).numpy()
+        scale = max(1.0, float(np.abs(ref).max()))
+        max_abs = float(np.abs(got - ref).max() / scale)
+        mean_abs = float(np.abs(got - ref).mean() / scale)
+        verdict["torch_parity"] = {"max_abs": max_abs, "mean_abs": mean_abs,
+                                   "atol": args.atol}
+        verdict["status"] = "OK" if max_abs <= args.atol else "PARITY_FAIL"
+    else:
+        verdict["torch_parity"] = None
+        verdict["status"] = "OK_NO_TORCH_ORACLE"
+
+    print(json.dumps(verdict))
+    return 0 if verdict["status"].startswith("OK") else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

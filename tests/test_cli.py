@@ -113,6 +113,52 @@ def test_certify_tsv(workdir, data_dir, embs_cache):
     assert [r.split("\t")[0] for r in rows[1:]] == ["0", "1", "2"]
 
 
+@pytest.fixture(scope="module")
+def embs_cache_sr8(data_dir):
+    """Reduced-resolution (sr8) gallery cache for the cascade test."""
+    path = osp.join(data_dir, "embs_insightface_sr8.npz")
+    if not osp.isfile(path):
+        main_attack.main(["--output-dir", "embs_seed_sr8", "--num-chunk",
+                          "0", "--data-dir", data_dir, "--chunks", "4",
+                          "--batch-size", "1", "--resolution", str(RES),
+                          "--synthesis-resolution", str(RES // 2),
+                          "--iters", "1", "--restarts", "1", "--seed", "9"])
+    return path
+
+
+def test_certify_cascade(workdir, data_dir, embs_cache, embs_cache_sr8):
+    """--cascade: every emitted correct/certified row is native-grade by
+    construction — bit-identical to the row a plain native-resolution run
+    writes for that identity (same fold_in(key, i) stream)."""
+    common = ["--face-recog-model", "insightface", "--sigma", "0.05",
+              "--data-dir", data_dir, "--resolution", str(RES),
+              "--N", "40", "--N0", "10", "--batch-sz", "20", "--max", "4"]
+    out_native = osp.join(workdir, "cert_native.tsv")
+    certify.main(["--outfile", out_native] + common)
+    out_casc = osp.join(workdir, "cert_cascade.tsv")
+    certify.main(["--outfile", out_casc, "--synthesis-resolution",
+                  str(RES // 2), "--cascade"] + common)
+
+    def rows(path):
+        out = {}
+        for line in open(path).read().strip().split("\n")[1:]:
+            c = line.split("\t")
+            out[int(c[0])] = c[:6]       # drop the timing column
+        return out
+
+    native, cascade = rows(out_native), rows(out_casc)
+    assert set(native) == set(cascade) and len(cascade) == 3
+    certified = [i for i, c in cascade.items() if c[3] == "1"]
+    assert certified, "no certified rows — sigma too large for the test"
+    for i in certified:
+        assert cascade[i] == native[i], (i, cascade[i], native[i])
+
+    # --cascade without a reduced synthesis resolution is a usage error.
+    with pytest.raises(SystemExit):
+        certify.main(["--outfile", osp.join(workdir, "x.tsv"),
+                      "--cascade"] + common)
+
+
 def test_certify_sharded_gallery_mesh(workdir, data_dir, embs_cache):
     out = osp.join(workdir, "cert_mesh.tsv")
     certify.main(["--face-recog-model", "insightface", "--outfile", out,

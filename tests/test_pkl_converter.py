@@ -206,3 +206,49 @@ def test_pggan_pkl_synthesis_matches_torch_path(tmp_path):
                              resolution=res)
     np.testing.assert_allclose(np.asarray(img_g), np.asarray(img_w),
                                atol=1e-5)
+
+
+def test_validate_conversion_tool(fake_pkl, tmp_path, capsys):
+    """tools/validate_conversion end-to-end on the synthetic official-style
+    snapshot: converts, synthesizes through the JAX generator, and (with the
+    reference repo + torch present) confirms parity against the reference
+    torch generator built from the same converted state dict."""
+    import json
+    import os
+
+    from certifyingfacerecognition_tpu.tools import validate_conversion as VC
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    path, _ = fake_pkl
+    out = str(tmp_path / "validated.npz")
+    rc = VC.main(["--pkl", path, "--model", "stylegan_ffhq",
+                  "--resolution", str(RES), "--test-num", "2",
+                  "--allow-unknown-pkl", "--atol", "2e-5", "--out", out])
+    verdict = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and verdict["status"] == "OK"
+    assert verdict["torch_parity"]["max_abs"] <= 2e-5
+    assert os.path.isfile(out)
+
+    # Unknown fingerprints are refused without the explicit override.
+    rc = VC.main(["--pkl", path, "--model", "stylegan_ffhq",
+                  "--resolution", str(RES)])
+    assert rc == 2
+
+
+@pytest.mark.skipif(
+    "CFR_REAL_PKL" not in __import__("os").environ,
+    reason="real-weight validation: set CFR_REAL_PKL=/path/to/"
+           "karras2019stylegan-ffhq-1024x1024.pkl (md5 "
+           "5a20ed46ea6494a9e969db2f6b97a88a) on a weights-equipped "
+           "deployment and run this test; it md5-checks the snapshot, "
+           "converts it, and golden-compares torch vs JAX at 1024^2")
+def test_validate_conversion_real_weights():
+    import os
+
+    from certifyingfacerecognition_tpu.tools import validate_conversion as VC
+
+    rc = VC.main(["--pkl", os.environ["CFR_REAL_PKL"],
+                  "--model", "stylegan_ffhq", "--resolution", "1024",
+                  "--test-num", "4"])
+    assert rc == 0
