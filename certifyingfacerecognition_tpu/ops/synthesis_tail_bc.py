@@ -1237,12 +1237,9 @@ def _conv_fused(x, k_hwio, nb, aff, eps, *, apply_aff=True):
     return t_raw, sums
 
 
-def _conv_rgb_final(x, k_hwio, nb, aff, s0p1, s1, w_rgb, b_rgb, eps, *,
-                    apply_aff=True):
-    """Final conv layer: its affine has no downstream reader, so it keeps
-    a two-pass (stats, then apply fused with ToRGB) structure — with the
-    INPUT affine still applied on read in both passes. Returns
-    [3, H, W, B]; the final Co-channel activation never touches HBM."""
+def _final_stats(x, k_hwio, nb, aff, eps, *, apply_aff=True):
+    """Stats pass of the final conv layer (timeable in isolation —
+    tools/tail_kernel_bench 'rgbstats1024'). Returns sums [2, Co, B]."""
     h, w, ci, b = x.shape
     co = k_hwio.shape[3]
     cwg = _pick_cwg(w // 4, cap=max(2, 2048 // (4 * co)))
@@ -1254,7 +1251,7 @@ def _conv_rgb_final(x, k_hwio, nb, aff, s0p1, s1, w_rgb, b_rgb, eps, *,
 
     th = _pick_th_conv_s(h, w, b, ci, co, with_out=False)
     nh = h // th
-    sums = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_conv_stats_stream_kernel, th=th, nh=nh, w=w,
                           ci=ci, co=co, cwg=cwg, apply_aff=apply_aff),
         grid=(nh,),
@@ -1272,8 +1269,22 @@ def _conv_rgb_final(x, k_hwio, nb, aff, s0p1, s1, w_rgb, b_rgb, eps, *,
         interpret=_interpret(),
     )(x, wp, nbt, aff)
 
-    coefs = _coefs_from_sums(sums, h * w, s0p1.T, s1.T, eps)
 
+def _final_apply(x, k_hwio, nb, aff, coefs, w_rgb, b_rgb, *,
+                 apply_aff=True):
+    """Apply+ToRGB pass of the final conv layer (timeable in isolation).
+    coefs [2, Co, B] f32 is the final layer's own folded affine."""
+    h, w, ci, b = x.shape
+    co = k_hwio.shape[3]
+    cwg = _pick_cwg(w // 4, cap=max(2, 2048 // (4 * co)))
+    wp = _w_conv_packed(k_hwio).astype(x.dtype)
+    nbt = nb.astype(x.dtype)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    aff_spec = pl.BlockSpec((2, ci, b), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    th = _pick_th_conv_s(h, w, b, ci, co, with_out=False)
+    nh = h // th
     return pl.pallas_call(
         functools.partial(_conv_rgb_stream_kernel, th=th, nh=nh, w=w,
                           ci=ci, co=co, cwg=cwg, apply_aff=apply_aff),
@@ -1297,6 +1308,19 @@ def _conv_rgb_final(x, k_hwio, nb, aff, s0p1, s1, w_rgb, b_rgb, eps, *,
     )(x, wp, nbt, aff, coefs,
       _w_rgb_packed(w_rgb, 4 * _conv_group_rows(co)).astype(x.dtype),
       jnp.asarray(b_rgb, jnp.float32).reshape(1, 3))
+
+
+def _conv_rgb_final(x, k_hwio, nb, aff, s0p1, s1, w_rgb, b_rgb, eps, *,
+                    apply_aff=True):
+    """Final conv layer: its affine has no downstream reader, so it keeps
+    a two-pass (stats, then apply fused with ToRGB) structure — with the
+    INPUT affine still applied on read in both passes. Returns
+    [3, H, W, B]; the final Co-channel activation never touches HBM."""
+    h, w, _, _ = x.shape
+    sums = _final_stats(x, k_hwio, nb, aff, eps, apply_aff=apply_aff)
+    coefs = _coefs_from_sums(sums, h * w, s0p1.T, s1.T, eps)
+    return _final_apply(x, k_hwio, nb, aff, coefs, w_rgb, b_rgb,
+                        apply_aff=apply_aff)
 
 
 def _chain_impl(x, blocks, eps):

@@ -130,6 +130,30 @@ def build_case(name, batch, dtype):
         return (jax.jit(rgb1024), (x, blk2),
                 floor_ms((2 * 1024**2 * 16 + 1024**2 * 3) * b * 2))
 
+    if name == "rgbstats1024":          # stats pass of the final layer only
+        x = _rand(rng, (1024, 1024, 16, b), dtype)
+        blk2 = _mk_block(rng, 32, 16, 1024, True)
+
+        def rgbstats(x, blk):
+            return bc._final_stats(x, blk["k"], blk["conv_nb"], aff(16),
+                                   1e-8)
+
+        return (jax.jit(rgbstats), (x, blk2),
+                floor_ms(1024**2 * 16 * b * 2))
+
+    if name == "rgbapply1024":          # apply+ToRGB pass only
+        x = _rand(rng, (1024, 1024, 16, b), dtype)
+        blk2 = _mk_block(rng, 32, 16, 1024, True)
+        coefs = jnp.stack([jnp.ones((16, b), jnp.float32),
+                           jnp.zeros((16, b), jnp.float32)])
+
+        def rgbapply(x, blk, coefs):
+            return bc._final_apply(x, blk["k"], blk["conv_nb"], aff(16),
+                                   coefs, blk["w_rgb"], blk["b_rgb"])
+
+        return (jax.jit(rgbapply), (x, blk2, coefs),
+                floor_ms((1024**2 * 16 + 1024**2 * 3) * b * 2))
+
     if name == "chain":                    # whole >=512 tail
         x = _rand(rng, (256, 256, 64, b), dtype)
         blocks = (_mk_block(rng, 64, 32, 512, False),
@@ -148,7 +172,8 @@ def build_case(name, batch, dtype):
     raise ValueError(f"unknown layer {name!r}")
 
 
-ALL_LAYERS = ("up512", "conv512", "up1024", "rgb1024", "chain")
+ALL_LAYERS = ("up512", "conv512", "up1024", "rgb1024", "rgbstats1024",
+              "rgbapply1024", "chain")
 
 
 def main(argv=None):
