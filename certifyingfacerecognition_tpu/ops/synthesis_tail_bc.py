@@ -56,6 +56,7 @@ differentiate the same math through the frozen-conv VJPs of models/nn.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -205,11 +206,25 @@ def _w_up_packed(k4_hwio):
 
 
 def _w_rgb_packed(w_rgb, npx):
-    """ToRGB [Co, 3] -> block-diagonal [npx*3, npx*Co] so a whole group's
-    RGB is one dot against the [npx*Co, B]-flattened activation chunk."""
+    """ToRGB [Co, 3] -> CHANNEL-MAJOR block matrix [3*npx, npx*Co] so a
+    whole group's RGB is one dot against the [npx*Co, B]-flattened
+    activation chunk AND the result [3, npx, B] lands directly in the
+    [3, H, W, B] output orientation: row ch*npx + px holds w_rgb[:, ch]
+    at cols px*Co.. — the earlier px-major block-diagonal needed a
+    per-chunk [.., 3, B] -> [3, .., B] transpose whose 3-sublane layout
+    Mosaic lowers as slow shuffles."""
     import jax.scipy.linalg as jsl
 
-    return jsl.block_diag(*([w_rgb.T] * npx))
+    return jnp.concatenate(
+        [jsl.block_diag(*([w_rgb[:, ch][None, :]] * npx))
+         for ch in range(w_rgb.shape[1])])
+
+
+def _b_rgb_packed(b_rgb, npx):
+    """RGB bias [3] -> [3*npx, 1] row-aligned with _w_rgb_packed so the
+    kernels add it on the 2D dot result (a [3npx,1]+[3npx,B] broadcast;
+    a [3]->[3,1,1,1] broadcast is a shape cast Mosaic cannot lower)."""
+    return jnp.repeat(jnp.asarray(b_rgb, jnp.float32), npx)[:, None]
 
 
 # ---------------------------------------------------------------------------
@@ -449,17 +464,16 @@ def _conv_rgb_apply_kernel(x_ref, w_ref, nb_ref, coef_ref, wrgb_ref,
     def consume(rb, t, carry):
         out = (t * a_c[None, None] + off_c[None, None]).astype(
             out_ref.dtype)
-        # out [gr, tw, co, B] -> block-diagonal RGB dot per 4-col group
+        # out [gr, tw, co, B] -> channel-major RGB dot per 4-col group
         tw_ = out.shape[1]
         cols = []
         for g2 in range(tw_ // 4):
             chunk = out[:, g2 * 4:(g2 + 1) * 4]        # [gr, 4, co, B]
             v = jnp.dot(wrgb, chunk.reshape(gr * 4 * co, b),
                         preferred_element_type=jnp.float32)
-            cols.append(v.reshape(gr, 4, 3, b))
-        rgb = jnp.concatenate(cols, axis=1)            # [gr, tw, 3, B]
-        rgb = rgb + brgb_ref[0][None, None, :, None]
-        rgb = jnp.transpose(rgb, (2, 0, 1, 3))         # [3, gr, tw, B]
+            v = v + brgb_ref[:]                        # [3*gr*4, B]
+            cols.append(v.reshape(3, gr, 4, b))
+        rgb = jnp.concatenate(cols, axis=2)            # [3, gr, tw, B]
         out_ref[:, pl.ds(rb * gr, gr)] = rgb.astype(out_ref.dtype)
         return carry
 
@@ -553,7 +567,7 @@ def _conv_impl(x, k_hwio, nb, s0p1, s1, eps, w_rgb=None, b_rgb=None):
         interpret=_interpret(),
     )(x, wp, nbt, coefs,
       _w_rgb_packed(w_rgb, 4 * _conv_group_rows(co)).astype(x.dtype),
-      jnp.asarray(b_rgb, jnp.float32).reshape(1, 3))
+      _b_rgb_packed(b_rgb, 4 * _conv_group_rows(co)))
 
 
 # ---------------------------------------------------------------------------
@@ -763,7 +777,10 @@ upconv_blur_epilogue_bc.defvjp(_up_fwd, _up_bwd)
 # Measured per-layer timings vs the round-2 kernels: docs/PERF.md.
 # ---------------------------------------------------------------------------
 
-_STREAM_BUDGET = 100 * 1024 * 1024
+# Tunable so kernel-shape experiments (tools/tail_kernel_bench) can probe
+# larger row blocks without an edit; v5e VMEM is 128 MB total.
+_STREAM_BUDGET = int(os.environ.get("CFR_TAIL_VMEM_BUDGET_MB", "100")) \
+    * 1024 * 1024
 
 
 def _stream_cases(idx, nh, th):
@@ -957,6 +974,12 @@ def _up_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref, out_ref,
     # both already affined) is exactly tile i's last pair and is already
     # sitting in the right slot — so only tile 0 deconvs a warm-up pair.
     # Recomputing it every step cost (th+1)/th of the deconv MXU work.
+    # (Round-3b experiment, measured and REJECTED: a 3-slot ring with
+    # per-tile static slot indices + the blur lagged two pairs behind the
+    # deconv. The bigger ring pushed _pick_th_up to th=1 and the
+    # end-of-tile warm-up-pair copy it requires costs a full extra yb
+    # traversal per tile — up512 14.1 -> 14.6 ms, up1024 23.2 -> 24.2,
+    # even with the VMEM budget raised so th=2 survives.)
     base = i * th
 
     @pl.when(i == 0)
@@ -1061,15 +1084,32 @@ def _conv_stream_body(scr2, cur, wk, nb_ref, ybc, *, th, w, ci, co, b, cwg,
     def prologue():
         dots(0, 0)
 
-    def body(idx, carry):
-        slot = lax.rem(idx, 2)
-        dots(idx, slot)
-        return process(idx - 1, lax.rem(idx + 1, 2), carry)
+    # The body is unrolled 2x so every ybc slot index is STATIC: with the
+    # earlier dynamic `rem(idx, 2)` slots Mosaic cannot prove the dots'
+    # store and the previous chunk's load are disjoint and serialises the
+    # MXU and VPU phases (measured: rgbapply1024 at its serial sum,
+    # 22.3 ms). Static slots make the (dots i+1 || process i) pairs
+    # provably independent. The fori runs over PAIRS; the leftover
+    # chunk(s) are peeled into the epilogue with compile-time slots.
+    def body(j, carry):
+        idx = 2 * j + 1
+        dots(idx, 1)
+        carry = process(idx - 1, 0, carry)
+        dots(idx + 1, 0)
+        return process(idx, 1, carry)
 
-    def epilogue(carry):
-        return process(n - 1, lax.rem(n + 1, 2), carry)
+    if n % 2 == 0:
+        def epilogue(carry):
+            dots(n - 1, (n - 1) % 2)
+            carry = process(n - 2, (n - 2) % 2, carry)
+            return process(n - 1, (n - 1) % 2, carry)
+    else:
+        def epilogue(carry):
+            return process(n - 1, (n - 1) % 2, carry)
 
-    return prologue, body, epilogue, n
+    # body pairs cover idx 1..2*((n-1)//2), i.e. everything the epilogue
+    # doesn't peel; returns the PAIR count for the fori over [0, pairs).
+    return prologue, body, epilogue, (n - 1) // 2
 
 
 def _conv_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref, out_ref,
@@ -1097,7 +1137,7 @@ def _conv_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref, out_ref,
         cwg=cwg, consume=consume)
     z = jnp.zeros((co, b), jnp.float32)
     pro()
-    s1_, s2_ = epi(lax.fori_loop(1, n, body, (z, z)))
+    s1_, s2_ = epi(lax.fori_loop(0, n, body, (z, z)))
     sums_ref[0] += s1_
     sums_ref[1] += s2_
 
@@ -1124,7 +1164,7 @@ def _conv_stats_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, sums_ref,
         cwg=cwg, consume=consume)
     z = jnp.zeros((co, b), jnp.float32)
     pro()
-    s1_, s2_ = epi(lax.fori_loop(1, n, body, (z, z)))
+    s1_, s2_ = epi(lax.fori_loop(0, n, body, (z, z)))
     sums_ref[0] += s1_
     sums_ref[1] += s2_
 
@@ -1148,10 +1188,9 @@ def _conv_rgb_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, coef_ref,
             chunk = out[:, u * 4:(u + 1) * 4]         # [gr, 4, co, b]
             v = jnp.dot(wrgb, chunk.reshape(gr * 4 * co, b),
                         preferred_element_type=jnp.float32)
-            cols.append(v.reshape(gr, 4, 3, b))
-        rgb = jnp.concatenate(cols, axis=1)           # [gr, 4cwg, 3, b]
-        rgb = rgb + brgb_ref[0][None, None, :, None]
-        rgb = jnp.transpose(rgb, (2, 0, 1, 3))        # [3, gr, 4cwg, b]
+            v = v + brgb_ref[:]                       # [3*gr*4, b]
+            cols.append(v.reshape(3, gr, 4, b))
+        rgb = jnp.concatenate(cols, axis=2)           # [3, gr, 4cwg, b]
         out_ref[:, pl.ds(r0, gr), pl.ds(4 * cwg * cc, 4 * cwg)] = (
             rgb.astype(out_ref.dtype))
         return carry
@@ -1160,7 +1199,7 @@ def _conv_rgb_stream_kernel(x_ref, w_ref, nb_ref, aff_ref, coef_ref,
         scr2, cur, w_ref[:], nb_ref, ybc, th=th, w=w, ci=ci, co=co, b=b,
         cwg=cwg, consume=consume)
     pro()
-    epi(lax.fori_loop(1, n, body, 0))
+    epi(lax.fori_loop(0, n, body, 0))
 
 
 def _up_fused(x, k4_hwio, nb, aff, eps, *, apply_aff=True):
@@ -1307,7 +1346,7 @@ def _final_apply(x, k_hwio, nb, aff, coefs, w_rgb, b_rgb, *,
         interpret=_interpret(),
     )(x, wp, nbt, aff, coefs,
       _w_rgb_packed(w_rgb, 4 * _conv_group_rows(co)).astype(x.dtype),
-      jnp.asarray(b_rgb, jnp.float32).reshape(1, 3))
+      _b_rgb_packed(b_rgb, 4 * _conv_group_rows(co)))
 
 
 def _conv_rgb_final(x, k_hwio, nb, aff, s0p1, s1, w_rgb, b_rgb, eps, *,

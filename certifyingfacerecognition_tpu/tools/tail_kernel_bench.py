@@ -154,20 +154,32 @@ def build_case(name, batch, dtype):
         return (jax.jit(rgbapply), (x, blk2, coefs),
                 floor_ms((1024**2 * 16 + 1024**2 * 3) * b * 2))
 
-    if name == "chain":                    # whole >=512 tail
-        x = _rand(rng, (256, 256, 64, b), dtype)
-        blocks = (_mk_block(rng, 64, 32, 512, False),
-                  _mk_block(rng, 32, 16, 1024, True))
+    if name.startswith("chain"):  # whole >=(suffix)^2 tail; default >=512
+        first = int(name[5:] or "512")
+        ladder = [(256, 128, 128), (128, 64, 256), (64, 32, 512),
+                  (32, 16, 1024)]
+        ladder = [(ci, co, h2) for ci, co, h2 in ladder if h2 >= first]
+        ci0 = ladder[0][0]
+        x = _rand(rng, (ladder[0][2] // 2, ladder[0][2] // 2, ci0, b),
+                  dtype)
+        blocks = tuple(
+            _mk_block(rng, ci, co, h2, h2 == 1024)
+            for ci, co, h2 in ladder)
 
         def chain(x, blocks):
             return bc.tail_chain_bc(x, blocks)
 
-        tail_bytes = (256**2 * 64          # read chain input
-                      + 512**2 * 32 * 3    # up512 w, conv512 r+w
-                      + 512**2 * 32        # up1024 reads conv512 out
-                      + 1024**2 * 16 * 3   # up1024 w + rgb reads x twice
-                      + 1024**2 * 3) * b * 2
-        return (jax.jit(chain), (x, blocks), floor_ms(tail_bytes))
+        tail_bytes = (ladder[0][2] // 2)**2 * ci0    # read chain input
+        for ci, co, h2 in ladder:
+            # up writes raw; conv reads it and writes raw (the final conv
+            # instead reads its input twice and writes only the 3-ch rgb).
+            if h2 == 1024:
+                tail_bytes += h2**2 * (co * 3 + 3)
+            else:
+                tail_bytes += h2**2 * co * 3
+            if h2 != ladder[0][2]:
+                tail_bytes += (h2 // 2)**2 * ci      # up reads prev conv
+        return (jax.jit(chain), (x, blocks), floor_ms(tail_bytes * b * 2))
 
     raise ValueError(f"unknown layer {name!r}")
 

@@ -148,6 +148,37 @@ def test_tail_chain_matches_ref():
                                rtol=5e-4, atol=5e-4)
 
 
+def test_tail_chain_three_blocks_matches_ref():
+    """A >=3-block chain has a TRUE middle block (receives a deferred
+    affine AND defers its own) — the structure CFR_TAIL_MIN_RES=256/128
+    runs; the 2-block test above never exercises it."""
+    b = 8
+    h = 8
+    ladder = [(32, 16), (16, 8), (8, 8)]
+    blocks = []
+    for li, (cin, cout) in enumerate(ladder):
+        key = 100 + li * 10
+        blocks.append({
+            "k4": _mk((4, 4, cin, cout), key + 1, jnp.float32, 0.2),
+            "up_nb": _mk((2 * h, 2 * h, cout), key + 2),
+            "up_s0p1": _mk((b, cout), key + 3) + 1.0,
+            "up_s1": _mk((b, cout), key + 4),
+            "k": _mk((3, 3, cout, cout), key + 5, jnp.float32, 0.2),
+            "conv_nb": _mk((2 * h, 2 * h, cout), key + 6),
+            "conv_s0p1": _mk((b, cout), key + 7) + 1.0,
+            "conv_s1": _mk((b, cout), key + 8),
+        })
+        h *= 2
+    blocks[-1]["w_rgb"] = _mk((8, 3), 190, jnp.float32, 0.3)
+    blocks[-1]["b_rgb"] = _mk((3,), 191)
+    x = _mk((8, 8, 32, b), 0)
+    got = bc.tail_chain_bc(x, tuple(blocks))
+    want = bc._chain_ref(x, tuple(blocks), 1e-8)
+    assert got.shape == (3, 64, 64, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.slow
 def test_tail_chain_gradient_matches_ref():
     b, ci, co = 8, 8, 8
