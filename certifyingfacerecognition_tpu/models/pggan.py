@@ -47,12 +47,24 @@ def _conv_block(p: Dict, x: jnp.ndarray, *, kernel_size: int, padding: int,
                 upsample: bool, gain: float, lrelu_act: bool, dtype, prec
                 ) -> jnp.ndarray:
     x = nn.pixel_norm(x)
-    if upsample:
-        x = nn.upsample_nearest_2x(x)
-    k = p["conv_weight"].astype(dtype)
+    k = p["conv_weight"]
     fan_in = k.shape[0] * k.shape[1] * k.shape[2]
     scale = gain / math.sqrt(fan_in)
-    x = nn.conv2d(x, k, padding=((padding, padding), (padding, padding)),
+    if upsample and kernel_size == 3 and padding == 1 \
+            and dtype == jnp.bfloat16:
+        # bf16 fast path: upsample+conv3x3 as one 4-tap stride-2 tconv
+        # (identical math, 2.25x fewer MACs — see the StyleGAN up_half
+        # and nn.nearest_up_conv3_as_tconv_kernel). Scale folded in f32.
+        from .stylegan import _upconv
+
+        k4 = nn.nearest_up_conv3_as_tconv_kernel(k * scale)
+        x = _upconv(x, k4.astype(dtype), prec)
+        x = x + p["bias"].astype(dtype)
+        return nn.lrelu(x) if lrelu_act else x
+    if upsample:
+        x = nn.upsample_nearest_2x(x)
+    x = nn.conv2d(x, k.astype(dtype),
+                  padding=((padding, padding), (padding, padding)),
                   precision=prec)
     x = x * scale + p["bias"].astype(dtype)
     return nn.lrelu(x) if lrelu_act else x

@@ -331,6 +331,16 @@ def _synthesis_block(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
         fused = is_fused_layer(2 * block_idx - 2)
         if fused:
             x = _upconv(x, p["tconv_kernel"].astype(dtype), prec)
+        elif dtype == jnp.bfloat16:
+            # bf16 fast path: upsample+conv3x3 rewritten as one 4-tap
+            # stride-2 tconv (identical math incl. padding edges, 2.25x
+            # fewer MACs, no materialised upsampled activation —
+            # nn.nearest_up_conv3_as_tconv_kernel). Kernel folded in f32,
+            # then cast. f32 keeps the literal op pair for bit parity.
+            scale = _wscale(x.shape[-1] * 9)
+            k4 = nn.nearest_up_conv3_as_tconv_kernel(
+                p["conv_weight"] * scale)
+            x = _upconv(x, k4.astype(dtype), prec)
         else:
             x = nn.upsample_nearest_2x(x)
             scale = _wscale(x.shape[-1] * 9)

@@ -40,3 +40,19 @@ def test_pggan_parity_res32():
         (0, 3, 1, 2))
     scale = max(1.0, np.abs(ref).max())
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5)
+
+
+def test_pggan_bf16_close_to_f32_with_tconv_rewrite():
+    """The bf16 path rewrites every upsample+conv3x3 block as a 4-tap
+    tconv (models/pggan._conv_block); it must track the f32 truth."""
+    resolution = 32
+    sd_np = pg.random_torch_style_state_dict(resolution, seed=17)
+    params = pg.convert_torch_state_dict(sd_np, resolution)
+    z = np.random.default_rng(3).standard_normal((2, 512)).astype(np.float32)
+    z = jnp.asarray(np.asarray(pg.preprocess_z(jnp.asarray(z))))
+
+    f32 = np.asarray(pg.apply(params, z, resolution=resolution))
+    bf16 = np.asarray(pg.apply(params, z, resolution=resolution,
+                               dtype=jnp.bfloat16).astype(jnp.float32))
+    scale = max(1.0, np.abs(f32).max())
+    np.testing.assert_allclose(bf16 / scale, f32 / scale, atol=0.05)

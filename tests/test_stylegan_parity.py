@@ -63,6 +63,45 @@ def test_full_generator_parity(resolution):
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5)
 
 
+def test_nearest_up_conv_tconv_rewrite_exact():
+    """The bf16 path's 4-tap tconv rewrite of upsample_nearest+conv3x3
+    (nn.nearest_up_conv3_as_tconv_kernel) must match the literal op pair
+    in f32 to rounding — including the zero-padding edge rows/cols."""
+    import jax
+
+    from certifyingfacerecognition_tpu.models import nn
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, 16, 12)), jnp.float32)
+
+    want = nn.conv2d_frozen(nn.upsample_nearest_2x(x), k3,
+                            ((1, 1), (1, 1)), 1, jax.lax.Precision.HIGHEST)
+    k4 = nn.nearest_up_conv3_as_tconv_kernel(k3)
+    got = sg._upconv(x, k4, jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_synthesis_close_to_f32_with_nonfused_rewrite():
+    """Full synthesis at a resolution whose every up block is the
+    NON-fused (upsample+conv) kind: the bf16 path (which takes the tconv
+    rewrite) must track the f32 truth within bf16 tolerance."""
+    resolution = 64  # all blocks < 128 -> all non-fused
+    sd = sg.random_torch_style_state_dict(resolution, seed=5)
+    params = sg.convert_torch_state_dict(sd, resolution)
+    rng = np.random.default_rng(9)
+    L = sg.num_layers(resolution)
+    wp = jnp.asarray(rng.standard_normal((2, L, 512)), jnp.float32)
+
+    f32 = np.asarray(sg.synthesis_apply(params, wp, resolution=resolution))
+    bf16 = np.asarray(sg.synthesis_apply(params, wp, resolution=resolution,
+                                         dtype=jnp.bfloat16)
+                      .astype(jnp.float32))
+    scale = max(1.0, np.abs(f32).max())
+    np.testing.assert_allclose(bf16 / scale, f32 / scale, atol=0.05)
+
+
 def test_mapping_parity():
     import torch
 
