@@ -106,6 +106,36 @@ def build_parser() -> argparse.ArgumentParser:
                              "embeddings (defaults to embs_<model>.npz in "
                              "--data-dir; --embs-file names the reduced-"
                              "resolution gallery)")
+    parser.add_argument("--adaptive", type=str, default="off",
+                        choices=["off", "guaranteed", "sequential"],
+                        help="Early-stopping certification "
+                             "(smoothing/smooth.certify_adaptive). "
+                             "'guaranteed': deterministic futility bounds — "
+                             "emitted certify/abstain decisions are provably "
+                             "identical to the fixed-N run for the same seed "
+                             "(certified radii conservative within "
+                             "--adaptive-slack), so this composes with the "
+                             "reference-decision contract. 'sequential': "
+                             "alpha-spending checkpoints — much earlier "
+                             "stops for clear-cut identities, decisions "
+                             "aligned with fixed-N only statistically "
+                             "(coverage still holds at --alpha). Off by "
+                             "default: the reference estimator is fixed-N.")
+    parser.add_argument("--adaptive-chunk-batches", type=int, default=8,
+                        help="Batches between early-stop polls (each poll "
+                             "costs one ~30 ms device sync)")
+    parser.add_argument("--adaptive-slack", type=float, default=0.1,
+                        help="Stop a settled certification once its "
+                             "(conservative) gap is within this fraction of "
+                             "the best still-achievable gap")
+    parser.add_argument("--adaptive-gap-target", type=float, default=None,
+                        help="Deployment question 'certified at radius >= "
+                             "sigma_min * TARGET?': stop as soon as that bit "
+                             "is settled. In guaranteed mode the at-target "
+                             "answer matches the fixed-N run per seed; this "
+                             "is where guaranteed mode's large certify-side "
+                             "savings come from (without it, full-radius "
+                             "certifications must run to ~N by construction)")
     parser.add_argument("--dtype", type=str, default="fp32",
                         choices=["fp32", "bf16"])
     parser.add_argument("--mesh", action="store_true", default=False,
@@ -309,11 +339,23 @@ def main(argv=None) -> None:
         # (tests/test_cli.py::test_certify_cascade asserts this).
         k_fast = (jax.random.fold_in(key_i, 1)
                   if smoothed_native is not None else key_i)
-        prediction, gap = smoothed.certify(
-            z, x, i, args.N0, args.N, args.alpha, k_fast)
+
+        def run_certify(sm, k):
+            if args.adaptive == "off":
+                return sm.certify(z, x, i, args.N0, args.N, args.alpha, k)
+            pred, gap, n_used = sm.certify_adaptive(
+                z, x, i, args.N0, args.N, args.alpha, k,
+                mode=args.adaptive,
+                chunk_batches=args.adaptive_chunk_batches,
+                slack=args.adaptive_slack,
+                gap_target=args.adaptive_gap_target)
+            print(f"adaptive[{args.adaptive}] id {i}: "
+                  f"{n_used}/{args.N0 + args.N} samples")
+            return pred, gap
+
+        prediction, gap = run_certify(smoothed, k_fast)
         if smoothed_native is not None and prediction == i:
-            prediction, gap = smoothed_native.certify(
-                z, x, i, args.N0, args.N, args.alpha, key_i)
+            prediction, gap = run_certify(smoothed_native, key_i)
         elapsed = str(datetime.timedelta(seconds=time() - before))
         correct = int(prediction == i)
         radius = float(np.min(sigma)) * gap

@@ -103,10 +103,18 @@ def _make_attack_step(dists_fn: Callable, region: G.RegionMatrices, args
 
             from ..parallel.mesh import MC_AXIS, get_mesh
 
-            n_dev = len(jax.devices())
+            n_all = len(jax.devices())
+            n_dev = n_all
             bs = getattr(args, "batch_size", n_dev)
             while bs % n_dev:
                 n_dev -= 1
+            if n_dev != n_all:
+                # Same contract as the plain --mesh attack path below:
+                # never shrink the mesh silently.
+                print(f"WARNING: --batch-size {bs} does not divide the "
+                      f"{n_all}-device count; autoattack mesh reduced to "
+                      f"{n_dev} device(s) — pick a batch size divisible by "
+                      f"{n_all} to use the full mesh")
             mesh = get_mesh(MC_AXIS, n_devices=n_dev)
             shard = NamedSharding(mesh, P(MC_AXIS))
 

@@ -190,3 +190,127 @@ class Smooth:
         if binom_two_sided_pvalue(c1, c1 + c2, 0.5) > alpha:
             return ABSTAIN
         return int(top2[0])
+
+    def certify_adaptive(self, z, x, label: int, n0: int, n: int,
+                         alpha: float, key: jax.Array,
+                         mode: str = "guaranteed", chunk_batches: int = 8,
+                         slack: float = 0.1, gap_target=None):
+        """Early-stopping certification. Returns (prediction, gap, n_used).
+
+        The fixed-N estimator (``certify``) spends the full N MC samples on
+        every identity that survives selection, even when the decision is
+        determined long before. This method consumes the SAME per-batch key
+        sequence as ``certify`` but polls the running success count every
+        ``chunk_batches`` batches and stops when the outcome is settled
+        under one of two rule sets:
+
+        ``mode="guaranteed"`` — deterministic futility bounds, zero
+        statistical cost. At m of N samples with n_a successes, the full
+        run's final Clopper-Pearson lower bound is bracketed by
+        ``CP(n_a, N, alpha)`` (every remaining sample fails) and
+        ``CP(n_a + N - m, N, alpha)`` (every remaining sample succeeds).
+        If the upper bracket is below 0.5 the full run provably abstains →
+        emit ABSTAIN, *identical* to the fixed-N decision for this seed.
+        If the lower bracket reaches 0.5 the full run provably certifies →
+        certified decisions also match exactly; the emitted gap is the
+        lower bracket, a valid radius never exceeding the full run's.
+        Honest asymmetry: because the final bound's denominator is the
+        full N, the lower bracket stays small until m ≈ N — so WITHOUT a
+        ``gap_target`` this mode saves little on certifications (it keeps
+        sampling until the bracket is within ``slack`` of the best
+        still-achievable gap, which converges only near m = N); its free
+        wins are early abstentions and a zero-risk default. With
+        ``gap_target`` g₀ (deployments asking "certified at radius ≥
+        σ_min·g₀?") it additionally stops the moment the at-target answer
+        is settled: lower bracket ≥ g₀ (yes, provably — emit it) or a
+        settled certification whose upper bracket is below g₀ (no,
+        provably — emit the current valid gap). The at-target bit then
+        matches the fixed-N run exactly, per seed.
+
+        ``mode="sequential"`` — alpha-spending checkpoints (union bound
+        over K = ceil(batches/chunk_batches) looks: alpha/2 reserved for
+        the final look, alpha/(2(K-1)) per early look), the classic
+        sequential-testing trade: certifications stop as soon as the
+        *checkpoint* bound CP(n_a, m, alpha_k) clears 0.5 (or
+        ``gap_target``) — orders of magnitude earlier for p near 1 — and
+        clear abstentions stop when CP_upper(n_a, m, alpha_k) < 0.5. The
+        cost: radii measured at m < N samples and decisions aligned with
+        the fixed-N estimator only statistically (not per-seed). Coverage
+        still holds at level alpha: P(any emitted bound exceeds the true
+        p) <= sum_k alpha_k = alpha.
+
+        Both modes leave the N0 selection phase untouched. Opt-in: the
+        reference's estimator is the fixed-N one, so adaptive mode is never
+        the default (BASELINE 'decisions matching reference')."""
+        from ..utils.stats import clopper_pearson_upper
+
+        assert mode in ("guaranteed", "sequential"), mode
+        k0, k1 = jax.random.split(key)
+        counts0 = self._sample_noise(z, x, n0, k0)
+        c_a_hat = int(counts0.argmax())
+        if c_a_hat != int(label):
+            return c_a_hat, 0.0, n0
+
+        # The exact key/valid stream certify() consumes, sliced into
+        # fixed-shape chunks (one XLA program regardless of where we stop).
+        bs = self.batch_size
+        n_batches = math.ceil(n / bs)
+        all_keys = jax.random.split(k1, n_batches)
+        valid = np.full((n_batches,), bs, np.int64)
+        valid[-1] = n - (n_batches - 1) * bs
+        n_chunks = math.ceil(n_batches / chunk_batches)
+        if n_batches % chunk_batches:
+            pad = chunk_batches - n_batches % chunk_batches
+            all_keys = jnp.concatenate(
+                [all_keys, jnp.zeros((pad,) + all_keys.shape[1:],
+                                     all_keys.dtype)])
+            valid = np.concatenate([valid, np.zeros((pad,), np.int64)])
+
+        alpha_early = alpha / (2 * (n_chunks - 1)) if n_chunks > 1 else alpha
+        alpha_final = alpha / 2 if n_chunks > 1 else alpha
+
+        z = jnp.asarray(z, jnp.float32)
+        x = jnp.asarray(x, jnp.float32)
+        n_a, m = 0, 0
+        for c in range(n_chunks):
+            sl = slice(c * chunk_batches, (c + 1) * chunk_batches)
+            counts = self._counts_fn(z, x, self.sigma, all_keys[sl],
+                                     jnp.asarray(valid[sl]))
+            n_a += int(np.asarray(counts[c_a_hat]))  # one-element pull
+            m += int(valid[sl].sum())
+            last = c == n_chunks - 1
+
+            if mode == "guaranteed":
+                lb_lo = clopper_pearson_lower(n_a, n, alpha)
+                lb_hi = clopper_pearson_lower(n_a + (n - m), n, alpha)
+                if lb_hi < 0.5:
+                    return ABSTAIN, 0.0, n0 + m       # full run must abstain
+                if lb_lo >= 0.5:                      # full run must certify
+                    gap_lo = self.certificate.compute_gap(lb_lo)
+                    gap_hi = self.certificate.compute_gap(lb_hi)
+                    if gap_target is not None and (gap_lo >= gap_target
+                                                   or gap_hi < gap_target):
+                        # The "certified at gap >= target" bit is settled
+                        # (provably yes / provably no); gap_lo stays valid.
+                        return c_a_hat, gap_lo, n0 + m
+                    if last or gap_lo >= (1.0 - slack) * gap_hi:
+                        return c_a_hat, gap_lo, n0 + m
+                if last:                              # unsettled: exact N run
+                    if lb_lo < 0.5:
+                        return ABSTAIN, 0.0, n0 + m
+            else:
+                a_k = alpha_final if last else alpha_early
+                lb_k = clopper_pearson_lower(n_a, m, a_k)
+                if clopper_pearson_upper(n_a, m, a_k) < 0.5:
+                    return ABSTAIN, 0.0, n0 + m
+                if lb_k >= 0.5:
+                    gap_k = self.certificate.compute_gap(lb_k)
+                    if gap_target is not None and gap_k >= gap_target:
+                        return c_a_hat, gap_k, n0 + m
+                    gap_best = self.certificate.compute_gap(
+                        clopper_pearson_lower(n_a + (n - m), n, alpha_final))
+                    if last or gap_k >= (1.0 - slack) * gap_best:
+                        return c_a_hat, gap_k, n0 + m
+                if last:
+                    return ABSTAIN, 0.0, n0 + m
+        raise AssertionError("unreachable")  # pragma: no cover

@@ -1,0 +1,149 @@
+"""Adaptive (early-stopping) certification: decision-parity, coverage and
+savings tests for smoothing/smooth.certify_adaptive.
+
+The fixed-N estimator is the reference's (smooth.py:39-77); adaptive mode is
+the framework's opt-in extension. 'guaranteed' mode must emit per-seed
+IDENTICAL decisions (it only stops when the fixed-N outcome is implied by
+deterministic Clopper-Pearson brackets); 'sequential' mode must keep
+(1 - alpha) coverage under the alpha-spending union bound.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.stats import norm
+
+from certifyingfacerecognition_tpu.smoothing.certificate import L2Certificate
+from certifyingfacerecognition_tpu.smoothing.smooth import ABSTAIN, Smooth
+
+
+def _threshold_predictor(tau):
+    """Binary classifier: class 0 iff p[:, 0] <= tau (p_A = Phi(tau/sigma))."""
+
+    def fn(z, p):
+        return (p[:, 0] > tau).astype(jnp.int32)
+
+    return fn
+
+
+def _smooth(tau, sigma=1.0, batch_size=200):
+    return Smooth(_threshold_predictor(tau), num_classes=2, sigma=sigma,
+                  certificate=L2Certificate(), noise_dim=5,
+                  batch_size=batch_size)
+
+
+Z = jnp.zeros(4)
+X = np.zeros(5)
+
+
+def test_guaranteed_decisions_match_fixed_n():
+    # Spans: clear certify (p=.84), borderline certify (p=.55),
+    # borderline abstain (p=.52 at small n), clear wrong-selection (p=.16).
+    configs = [(1.0, 5000), (0.126, 2000), (0.05, 400), (-1.0, 1000)]
+    for tau, n in configs:
+        sm = _smooth(tau)
+        for seed in range(3):
+            key = jax.random.PRNGKey(seed)
+            pred_f, gap_f = sm.certify(Z, X, 0, 100, n, 0.001, key)
+            pred_a, gap_a, n_used = sm.certify_adaptive(
+                Z, X, 0, 100, n, 0.001, key, mode="guaranteed",
+                chunk_batches=2)
+            assert pred_a == pred_f, (tau, n, seed)
+            # The guaranteed gap is a lower bracket of the fixed-N gap.
+            assert gap_a <= gap_f + 1e-12, (tau, n, seed)
+            assert n_used <= 100 + n
+
+
+def test_guaranteed_unsettled_run_is_bit_identical():
+    # p just above the certification threshold: the brackets stay unsettled
+    # until the final chunk, where the adaptive run IS the fixed-N run.
+    sm = _smooth(0.126, batch_size=100)  # p_A ~ 0.55
+    key = jax.random.PRNGKey(7)
+    pred_f, gap_f = sm.certify(Z, X, 0, 100, 2000, 0.001, key)
+    pred_a, gap_a, n_used = sm.certify_adaptive(
+        Z, X, 0, 100, 2000, 0.001, key, mode="guaranteed", chunk_batches=4,
+        slack=0.0)
+    assert pred_a == pred_f
+    if pred_f != ABSTAIN:
+        assert gap_a == gap_f  # slack=0: only stops at m=N, same counts
+    assert n_used == 100 + 2000
+
+
+def test_guaranteed_gap_target_settles_early_and_matches_fixed():
+    # p_A = Phi(3) ~ 0.9987; target gap 1.0 (p >= Phi(1) ~ 0.841). The
+    # at-target answer settles once CP(n_a, N, alpha) clears 0.841 —
+    # well before the full-radius bound converges.
+    sm = _smooth(3.0)
+    key = jax.random.PRNGKey(0)
+    pred_f, gap_f = sm.certify(Z, X, 0, 100, 10_000, 0.001, key)
+    pred, gap, n_used = sm.certify_adaptive(
+        Z, X, 0, 100, 10_000, 0.001, key, mode="guaranteed",
+        chunk_batches=2, gap_target=1.0)
+    assert pred == pred_f == 0
+    # The at-target bit matches the fixed-N run per seed, and the emitted
+    # (conservative) gap still clears the target.
+    assert (gap >= 1.0) == (gap_f >= 1.0) and gap <= gap_f
+    assert n_used < 0.92 * 10_100, n_used
+
+
+def test_sequential_stops_orders_of_magnitude_early():
+    sm = _smooth(3.0)  # p_A ~ 0.9987
+    pred, gap, n_used = sm.certify_adaptive(
+        Z, X, 0, 100, 10_000, 0.001, jax.random.PRNGKey(0),
+        mode="sequential", chunk_batches=2, slack=0.5)
+    assert pred == 0 and gap > 0
+    assert n_used <= 100 + 2 * 2 * 200, n_used  # stops within ~2 checkpoints
+
+
+def test_sequential_early_abstain_below_half():
+    # p_A ~ 0.45 but the selection phase may still pick the label on a lucky
+    # n0 draw; find such a seed, then the estimation phase must abstain —
+    # and do so well before the full N.
+    sm = _smooth(-0.126, batch_size=100)
+    for seed in range(40):
+        counts0 = sm._sample_noise(Z, X, 100, jax.random.split(
+            jax.random.PRNGKey(seed))[0])
+        if counts0.argmax() == 0:
+            pred, gap, n_used = sm.certify_adaptive(
+                Z, X, 0, 100, 10_000, 0.001, jax.random.PRNGKey(seed),
+                mode="sequential", chunk_batches=1)
+            assert pred == ABSTAIN and gap == 0.0
+            assert n_used < 100 + 3000, n_used
+            return
+    raise AssertionError("no seed passed selection at p=0.45")
+
+
+def test_sequential_coverage_at_alpha():
+    # Emitted certifications imply pABar = Phi(gap) <= true p with prob
+    # >= 1 - alpha over the whole sequential procedure. Run many trials at
+    # a generous alpha for power; violations are binomial(n_trials, alpha).
+    p_true = 0.75
+    tau = norm.ppf(p_true)
+    sm = _smooth(tau, batch_size=200)
+    alpha, trials, violations, certified = 0.1, 120, 0, 0
+    for seed in range(trials):
+        pred, gap, _ = sm.certify_adaptive(
+            Z, X, 0, 100, 2000, alpha, jax.random.PRNGKey(seed),
+            mode="sequential", chunk_batches=1)
+        if pred == 0 and gap > 0:
+            certified += 1
+            if norm.cdf(gap) > p_true:
+                violations += 1
+    assert certified > trials * 0.8  # p=.75 certifies essentially always
+    # E[violations] <= trials * alpha = 12; 3-sigma slack ~ +10.
+    assert violations <= 25, violations
+
+
+def test_adaptive_sample_accounting_exact_when_unsettled():
+    # n not divisible by batch or chunk: the padded key/valid plumbing must
+    # still count exactly n samples when no early stop fires.
+    sm = _smooth(0.126, batch_size=64)  # borderline p, stays unsettled
+    pred_f, gap_f = sm.certify(Z, X, 0, 100, 1000, 0.001,
+                               jax.random.PRNGKey(11))
+    pred_a, gap_a, n_used = sm.certify_adaptive(
+        Z, X, 0, 100, 1000, 0.001, jax.random.PRNGKey(11),
+        mode="guaranteed", chunk_batches=3, slack=0.0)
+    assert pred_a == pred_f
+    if pred_f != ABSTAIN:
+        assert gap_a == gap_f
+    assert n_used == 100 + 1000

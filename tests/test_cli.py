@@ -159,6 +159,34 @@ def test_certify_cascade(workdir, data_dir, embs_cache, embs_cache_sr8):
                       "--cascade"] + common)
 
 
+def test_certify_adaptive_guaranteed_matches_fixed(workdir, data_dir,
+                                                   embs_cache):
+    """--adaptive guaranteed through the CLI: decisions (and, because the
+    tiny N here always runs to the final chunk unsettled or settles at it,
+    gaps) must match the fixed-N TSV row for row."""
+    common = ["--face-recog-model", "insightface", "--sigma", "0.5",
+              "--data-dir", data_dir, "--resolution", str(RES),
+              "--N", "40", "--N0", "10", "--batch-sz", "20", "--max", "3"]
+    out_fixed = osp.join(workdir, "cert_fixed.tsv")
+    certify.main(["--outfile", out_fixed] + common)
+    out_adapt = osp.join(workdir, "cert_adapt.tsv")
+    certify.main(["--outfile", out_adapt, "--adaptive", "guaranteed",
+                  "--adaptive-chunk-batches", "1", "--adaptive-slack",
+                  "0.0"] + common)
+
+    def rows(path):
+        return {line.split("\t")[0]: line.split("\t")[1:4]
+                for line in open(path).read().strip().split("\n")[1:]}
+
+    fixed, adapt = rows(out_fixed), rows(out_adapt)
+    assert fixed == adapt, (fixed, adapt)
+
+    # sequential mode also runs end-to-end and emits schema-valid rows
+    out_seq = osp.join(workdir, "cert_seq.tsv")
+    certify.main(["--outfile", out_seq, "--adaptive", "sequential"] + common)
+    assert len(open(out_seq).read().strip().split("\n")) == 3
+
+
 def test_certify_sharded_gallery_mesh(workdir, data_dir, embs_cache):
     out = osp.join(workdir, "cert_mesh.tsv")
     certify.main(["--face-recog-model", "insightface", "--outfile", out,
