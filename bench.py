@@ -33,6 +33,10 @@ def main():
     from certifyingfacerecognition_tpu.smoothing.smooth import make_counts_fn
 
     resolution = int(os.environ.get("BENCH_RESOLUTION", "1024"))
+    # insightface (ArcFace r50, 112^2 input) is the headline FRM;
+    # facenet/facenet-vggface2 (InceptionResnetV1, 160^2) cover the
+    # reference's other two FRS methods (main_attack.py:121-131).
+    frs = os.environ.get("BENCH_FRS", "insightface")
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     # Batches scanned per dispatch: the production certify loop scans
     # N/batch ~ 79 batches inside one jit, so the tunnel's ~20-25 ms
@@ -48,14 +52,19 @@ def main():
         else jnp.float32
 
     gen_params = stylegan.random_params(resolution, seed=0)
-    frm_params = iresnet.convert_torch_state_dict(
-        iresnet.random_torch_style_state_dict("iresnet50", seed=0))
+    if frs == "insightface":
+        frm_params = iresnet.convert_torch_state_dict(
+            iresnet.random_torch_style_state_dict("iresnet50", seed=0))
+    else:
+        from certifyingfacerecognition_tpu.models import facenet
+
+        frm_params = facenet.random_params(seed=0)
     rng = np.random.default_rng(0)
     gallery = jnp.asarray(rng.standard_normal((n_gallery, 512)), jnp.float32)
     dirs = jnp.asarray(np.linalg.qr(
         rng.standard_normal((512, 5)))[0][:, :5].T, jnp.float32)  # [5, 512]
 
-    embed = make_lat2embs("insightface", resolution, dtype=dtype)
+    embed = make_lat2embs(frs, resolution, dtype=dtype)
 
     if mesh_id > 1:
         from jax.sharding import PartitionSpec as P
@@ -66,7 +75,7 @@ def main():
 
         n_dev = len(jax.devices())
         mesh = get_2d_mesh(n_dev // mesh_id, mesh_id)
-        predict_fn = make_sharded_gallery_predict_fn(embed, dirs)
+        predict_fn = make_sharded_gallery_predict_fn(embed, dirs, method=frs)
         params = {"gen": gen_params, "frm": frm_params, "gallery": gallery}
         specs = {"gen": P(), "frm": P(), "gallery": P("id")}
         counts = make_counts_fn(predict_fn, n_gallery, L2Certificate(),
@@ -77,7 +86,7 @@ def main():
             gp, fp = params
             w = z[None, :] + jnp.dot(p, dirs)
             embs = embed(gp, fp, w).astype(jnp.float32)
-            return D.argmin_dist_refined(embs, gallery, "insightface")
+            return D.argmin_dist_refined(embs, gallery, frs)
 
         counts = make_counts_fn(predict_fn, n_gallery, L2Certificate(),
                                 batch_size=batch, noise_dim=5,

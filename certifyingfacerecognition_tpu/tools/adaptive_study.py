@@ -16,7 +16,10 @@ Env knobs: AS_IDS (identities, default 200), AS_GALLERY (1000), AS_N
 (10000), AS_N0 (100), AS_SIGMA (3.0 — the certification-rich regime where
 early stopping pays; 6.0 = the decision-boundary regime), AS_ALPHA
 (0.001), AS_BATCH (128), AS_CHUNK (8 batches per early-stop poll),
-AS_SLACK (0.1), AS_GAP_TARGET (optional float), AS_RESOLUTION (1024).
+AS_SLACK (0.1; 1.0 = stop at decision determination — the multi-x
+configuration), AS_GAP_TARGET (optional float), AS_RESOLUTION (1024),
+AS_MODES (comma list out of fixed,guaranteed,sequential; agreement vs
+fixed is only reported when fixed is in the list).
 """
 
 from __future__ import annotations
@@ -94,8 +97,10 @@ def main():
             rows.append((int(pred), float(gap)))
         return rows, time.time() - t_start, samples
 
+    modes = [m.strip() for m in os.environ.get(
+        "AS_MODES", "fixed,guaranteed,sequential").split(",") if m.strip()]
     results = {}
-    for mode in ("fixed", "guaranteed", "sequential"):
+    for mode in modes:
         rows, elapsed, samples = certify_mode(mode)
         results[mode] = rows
         n_timed = n_ids - 1
@@ -110,7 +115,7 @@ def main():
                                      if p == i),
             "abstain": sum(1 for p, _ in rows if p == -1),
         }
-        if mode != "fixed":
+        if mode != "fixed" and "fixed" in results:
             base = results["fixed"]
             out["decision_agreement_vs_fixed"] = round(float(np.mean(
                 [p == bp for (p, _), (bp, _) in zip(rows, base)])), 4)

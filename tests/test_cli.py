@@ -187,6 +187,28 @@ def test_certify_adaptive_guaranteed_matches_fixed(workdir, data_dir,
     assert len(open(out_seq).read().strip().split("\n")) == 3
 
 
+def test_certify_cascade_composes_with_adaptive_guaranteed(
+        workdir, data_dir, embs_cache, embs_cache_sr8):
+    """--cascade --adaptive guaranteed: both passes early-stop on futility
+    brackets, so the emitted DECISIONS (predict/correct) must equal the
+    plain cascade's row for row (gaps may be conservative)."""
+    common = ["--face-recog-model", "insightface", "--sigma", "0.05",
+              "--data-dir", data_dir, "--resolution", str(RES),
+              "--N", "40", "--N0", "10", "--batch-sz", "20", "--max", "4",
+              "--synthesis-resolution", str(RES // 2), "--cascade"]
+    out_plain = osp.join(workdir, "casc_plain.tsv")
+    certify.main(["--outfile", out_plain] + common)
+    out_adapt = osp.join(workdir, "casc_adapt.tsv")
+    certify.main(["--outfile", out_adapt, "--adaptive", "guaranteed",
+                  "--adaptive-chunk-batches", "1"] + common)
+
+    def decisions(path):
+        return {line.split("\t")[0]: line.split("\t")[1:4]
+                for line in open(path).read().strip().split("\n")[1:]}
+
+    assert decisions(out_plain) == decisions(out_adapt)
+
+
 def test_certify_sharded_gallery_mesh(workdir, data_dir, embs_cache):
     out = osp.join(workdir, "cert_mesh.tsv")
     certify.main(["--face-recog-model", "insightface", "--outfile", out,
