@@ -42,11 +42,12 @@ def make_lat2embs(frs_method: str, resolution: int, dtype=jnp.float32
     """Returns embed(gen_params, frm_params, w [B,512]) -> [B,512] as one
     fused program (replaces gen_utils.py:108-139)."""
     img_size = INP_RESOLS[frs_method]
-    # When the Pallas chain tail is active, consume its native [3, H, W, B]
-    # image layout all the way to the 112^2/160^2 resize — the NHWC
-    # transpose of the full-resolution 3-channel image is the single most
-    # expensive op of the naive integration (docs/PERF.md round 3).
-    use_cb = stylegan.bc_tail_active(resolution, dtype)
+    # Consume the [3, H, W, B] channel-outer image layout all the way to
+    # the 112^2/160^2 resize whenever synthesis can emit it (the Pallas
+    # chain tail natively; the XLA bf16 path via its final ToRGB matmul) —
+    # the NHWC full-resolution 3-channel image is the pathological TPU
+    # layout (docs/PERF.md round 3).
+    use_cb = stylegan.cb_out_active(resolution, dtype)
 
     def embed(gen_params, frm_params, w):
         img = stylegan.synthesize_from_w(gen_params, w, resolution=resolution,

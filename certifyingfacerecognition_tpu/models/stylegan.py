@@ -186,16 +186,32 @@ def bc_tail_active(resolution: int, dtype) -> bool:
     return _bc_first_block(resolution, dtype) <= n_blocks
 
 
+def cb_out_active(resolution: int, dtype) -> bool:
+    """True when the pipeline should request cb_out=True: the Pallas chain
+    tail emits [3, H, W, B] natively, and the pure-XLA bf16 path can emit
+    the same layout from its final ToRGB (CFR_XLA_CB_RGB, default on) —
+    the channel-outer matmul output feeds ops/resize.transform_for_frs_cb
+    directly instead of making XLA fuse an NHWC->resize layout change into
+    the interpolation matmul's operand reads (docs/PERF.md round 3)."""
+    import os
+
+    if bc_tail_active(resolution, dtype):
+        return True
+    return dtype == jnp.bfloat16 and \
+        os.environ.get("CFR_XLA_CB_RGB", "1") == "1"
+
+
 def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
                     dtype=jnp.float32, cb_out: bool = False) -> jnp.ndarray:
     """W+ [B,L,512] -> image [B,H,W,3] in [-1, 1] (value range of the
     trained model). Reference: stylegan_generator_model.py:331-395 (lod=0).
 
-    cb_out=True (only meaningful when bc_tail_active(...)) returns the
-    Pallas tail's native [3, H, W, B] layout instead — the NHWC transpose
-    of a 3-channel 1024^2 image is pathological on TPU (3 channels pad to
-    128 lanes) and consumers should resize straight from this layout
-    (ops/resize.transform_for_frs_cb)."""
+    cb_out=True returns the [3, H, W, B] channel-outer layout instead —
+    natively from the Pallas chain tail when it is active, otherwise from
+    the final ToRGB expressed as a channel-outer matmul. The NHWC
+    transpose of a 3-channel 1024^2 image is pathological on TPU (3
+    channels pad to 128 lanes); consumers should resize straight from this
+    layout (ops/resize.transform_for_frs_cb). Gate on cb_out_active."""
     channels = RESOLUTIONS_TO_CHANNELS[resolution]
     syn = params["synthesis"]
     prec = nn.precision_for(dtype)
@@ -236,6 +252,14 @@ def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
     # Final ToRGB only (intermediate heads are dead work at lod=0).
     po = syn[f"output{len(channels) - 2}"]
     scale = 1.0 / math.sqrt(x.shape[-1])
+    if cb_out:
+        # Channel-outer output [3, H, W, B]: the 1x1 conv as a matmul whose
+        # result lands directly in the layout transform_for_frs_cb consumes.
+        # NHWC [B,H,W,3] at full resolution is the pathological layout (3
+        # channels against 128 lanes); this branch never materialises it.
+        w_rgb = po["conv_weight"].reshape(x.shape[-1], 3).astype(dtype)
+        img = jnp.einsum("bhwc,cr->rhwb", x, w_rgb, precision=prec) * scale
+        return img + po["bias"].astype(dtype)[:, None, None, None]
     img = nn.conv2d_frozen(x, po["conv_weight"].astype(dtype),
                            ((0, 0), (0, 0)), 1, prec) * scale
     img = img + po["bias"].astype(dtype)

@@ -56,7 +56,7 @@ def main(argv=None):
     frm_params = iresnet.convert_torch_state_dict(
         iresnet.random_torch_style_state_dict("iresnet50", seed=0))
     embed = make_lat2embs("insightface", args.resolution, dtype=dtype)
-    use_cb = stylegan.bc_tail_active(args.resolution, dtype)
+    use_cb = stylegan.cb_out_active(args.resolution, dtype)
     img_size = INP_RESOLS["insightface"]
 
     # Gallery generated on-device (tunnel uploads run at ~30 MB/s).

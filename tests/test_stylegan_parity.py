@@ -161,3 +161,30 @@ def test_truncated_synthesis_matches_native_params():
     assert img_trunc.shape == (2, 32, 32, 3)
     np.testing.assert_allclose(np.asarray(img_trunc),
                                np.asarray(img_native), atol=1e-6)
+
+
+def test_xla_cb_out_final_torgb_matches_nhwc():
+    """The channel-outer final-ToRGB branch (cb_out=True on the pure-XLA
+    path, models/stylegan.synthesis_apply) must equal the NHWC conv branch
+    transposed — same math, different output layout."""
+    resolution = 32
+    params = sg.random_params(resolution, seed=11)
+    rng = np.random.default_rng(12)
+    L = sg.num_layers(resolution)
+    wp = jnp.asarray(rng.standard_normal((4, L, 512)), jnp.float32)
+
+    # The channel-outer matmul reassociates the C=512 reduction, so even
+    # f32 is equal only to rounding (the branch is gated to the bf16 perf
+    # path in cb_out_active; the f32 pipeline keeps the conv + its
+    # bit-parity contract).
+    for dtype, tol in ((jnp.float32, 1e-4), (jnp.bfloat16, 2e-2)):
+        nhwc = np.asarray(sg.synthesis_apply(
+            params, wp, resolution=resolution, dtype=dtype
+        ).astype(jnp.float32))
+        cb = np.asarray(sg.synthesis_apply(
+            params, wp, resolution=resolution, dtype=dtype, cb_out=True
+        ).astype(jnp.float32))
+        assert cb.shape == (3, resolution, resolution, 4)
+        np.testing.assert_allclose(
+            cb.transpose(3, 1, 2, 0), nhwc, atol=tol,
+            rtol=tol, err_msg=str(dtype))
