@@ -11,8 +11,20 @@ single-chip throughput and prints one JSON line.
 Weights are random (throughput is weight-independent); compute is bf16 with
 fp32 distance refinement — the deployment configuration whose abstain /
 certify decisions are validated against fp32 in tests/test_smoothing.py.
+
+A/B mode (the reproducible-claim discipline, docs/PERF.md round 4): every
+claimed optimization must land with a same-session on/off pair. Example:
+
+    python bench.py --ab CFR_XLA_CB_RGB=0,1
+
+measures each env-flag value in ONE process on the same chip (fresh trace
+per value — the flags are read at trace time), prints one JSON line per
+config plus a summary line, and persists the pair to
+``bench_ab_<FLAG>.json`` so the evidence travels with the tree. An empty
+value means "unset" (e.g. ``--ab CFR_TAIL=,bc``).
 """
 
+import argparse
 import json
 import os
 import time
@@ -24,7 +36,13 @@ import jax.numpy as jnp
 BASELINE_SAMPLES_PER_SEC = 33.0
 
 
-def main():
+def measure():
+    """Run the headline benchmark once under the current environment.
+
+    Env flags (BENCH_*, CFR_*) are read at trace time, and every call
+    builds fresh closures/jits, so callers may toggle os.environ between
+    calls to A/B configurations within one process/session.
+    """
     from certifyingfacerecognition_tpu.models import iresnet, stylegan
     from certifyingfacerecognition_tpu.models.pipeline import make_lat2embs
     from certifyingfacerecognition_tpu.ops import distances as D
@@ -121,12 +139,57 @@ def main():
 
     samples = reps * n_batches * batch
     sps = samples / dt
-    print(json.dumps({
+    return {
         "metric": "mc_smoothing_samples_per_sec_per_chip",
         "value": round(sps, 2),
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
-    }))
+    }
+
+
+def _run_ab(spec: str):
+    """Same-session A/B over an env flag: ``FLAG=v1,v2[,...]``."""
+    flag, _, values = spec.partition("=")
+    if not values:
+        raise SystemExit(f"--ab needs FLAG=v1,v2 (got {spec!r})")
+    results = []
+    for val in values.split(","):
+        if val == "":
+            os.environ.pop(flag, None)
+        else:
+            os.environ[flag] = val
+        row = measure()
+        row["env"] = {flag: val or None}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    base = results[0]["value"]
+    summary = {
+        "ab_flag": flag,
+        "values": [r["env"][flag] for r in results],
+        "samples_per_sec": [r["value"] for r in results],
+        "ratio_vs_first": [round(r["value"] / base, 4) for r in results],
+        "bench_env": {k: v for k, v in os.environ.items()
+                      if k.startswith(("BENCH_", "CFR_"))},
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(summary), flush=True)
+    out = f"bench_ab_{flag}.json"
+    with open(out, "w") as f:
+        json.dump({"runs": results, "summary": summary}, f, indent=1)
+    print(f"# persisted -> {out}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ab", metavar="FLAG=v1,v2", default=None,
+                    help="measure each env-flag value in one session and "
+                         "persist the pair to bench_ab_<FLAG>.json")
+    args = ap.parse_args()
+    if args.ab:
+        _run_ab(args.ab)
+    else:
+        print(json.dumps(measure()))
 
 
 if __name__ == "__main__":

@@ -128,39 +128,6 @@ def _epilogue(p: Dict, x: jnp.ndarray, w_layer: jnp.ndarray, *,
     return x * (s0[:, None, None, :] + 1.0) + s1[:, None, None, :]
 
 
-def _blur_epilogue_fused(p: Dict, x: jnp.ndarray, w_layer: jnp.ndarray, *,
-                         dtype, prec) -> jnp.ndarray:
-    """blur + epilogue as the streaming Pallas kernel (bf16 path; 2x the
-    XLA op chain on the high-res tail — ops/fused_blur_epilogue.py)."""
-    from ..ops.fused_blur_epilogue import blur_epilogue
-
-    c = x.shape[-1]
-    noise_nw = (p["noise"] * p["noise_weight"]).astype(dtype)
-    s0, s1 = _style(p, w_layer, c, dtype=dtype, prec=prec)
-    return blur_epilogue(x, noise_nw, p["bias"].astype(jnp.float32),
-                         (s0 + 1.0).astype(jnp.float32),
-                         s1.astype(jnp.float32))
-
-
-def _blur_epilogue_fused_bl(p: Dict, x: jnp.ndarray, w_layer: jnp.ndarray,
-                            *, dtype, prec) -> jnp.ndarray:
-    """blur + epilogue as the BATCH-IN-LANES Pallas kernel
-    (ops/fused_epilogue_bl.py): the boundary transposes match XLA's native
-    batch-minor layout for these small-channel convs, so they lower to
-    relayouts XLA can elide instead of the ~29 ms copies that made the
-    channel-minor kernel a net loss (docs/PERF.md)."""
-    from ..ops.fused_epilogue_bl import blur_epilogue_bl
-
-    c = x.shape[-1]
-    noise_nw = (p["noise"] * p["noise_weight"]).astype(dtype)
-    s0, s1 = _style(p, w_layer, c, dtype=dtype, prec=prec)
-    y_t = jnp.transpose(x, (1, 2, 3, 0))
-    out = blur_epilogue_bl(y_t, noise_nw, p["bias"].astype(jnp.float32),
-                           (s0 + 1.0).astype(jnp.float32),
-                           s1.astype(jnp.float32))
-    return jnp.transpose(out, (3, 0, 1, 2))
-
-
 def _bc_first_block(resolution: int, dtype) -> int:
     """First synthesis block handled by the BC-layout Pallas tail, or
     n_blocks+1 when the tail is off. Block bi's output resolution is
@@ -189,16 +156,17 @@ def bc_tail_active(resolution: int, dtype) -> bool:
 def cb_out_active(resolution: int, dtype) -> bool:
     """True when the pipeline should request cb_out=True: the Pallas chain
     tail emits [3, H, W, B] natively, and the pure-XLA bf16 path can emit
-    the same layout from its final ToRGB (CFR_XLA_CB_RGB, default on) —
-    the channel-outer matmul output feeds ops/resize.transform_for_frs_cb
-    directly instead of making XLA fuse an NHWC->resize layout change into
-    the interpolation matmul's operand reads (docs/PERF.md round 3)."""
+    the same layout from its final ToRGB (CFR_XLA_CB_RGB, default OFF —
+    a round-4 same-session A/B measured the channel-outer ToRGB einsum as
+    a ~16% headline regression, 852 vs 1,016 samples/s; the round-3b
+    '+16% certify' claim was a cross-session confound. See docs/PERF.md
+    'Round 4: the CFR_XLA_CB_RGB reconciliation')."""
     import os
 
     if bc_tail_active(resolution, dtype):
         return True
     return dtype == jnp.bfloat16 and \
-        os.environ.get("CFR_XLA_CB_RGB", "1") == "1"
+        os.environ.get("CFR_XLA_CB_RGB", "0") == "1"
 
 
 def synthesis_apply(params: Dict, wp: jnp.ndarray, *, resolution: int,
@@ -349,11 +317,9 @@ def _synthesis_block(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
     """One resolution block: up-conv + blur + epilogue (absent for the
     first block, whose layer0 is the learned constant), then conv +
     epilogue (stylegan_generator_model.py:331-395)."""
-    import os
 
     def up_half(x, p, w_layer):
-        fused = is_fused_layer(2 * block_idx - 2)
-        if fused:
+        if is_fused_layer(2 * block_idx - 2):
             x = _upconv(x, p["tconv_kernel"].astype(dtype), prec)
         elif dtype == jnp.bfloat16:
             # bf16 fast path: upsample+conv3x3 rewritten as one 4-tap
@@ -370,24 +336,6 @@ def _synthesis_block(syn: Dict, x: jnp.ndarray, wp: jnp.ndarray, *,
             scale = _wscale(x.shape[-1] * 9)
             x = nn.conv2d_frozen(x, p["conv_weight"].astype(dtype),
                                  ((1, 1), (1, 1)), 1, prec) * scale
-        # The Pallas blur+epilogue kernel beats the XLA op chain 2x in
-        # isolation, but loses in-context: the custom call forces dense
-        # layouts at its boundary while XLA keeps conv activations in its
-        # own (channel-padded) layout, so conversions eat the win
-        # (docs/PERF.md). Off by default until the tail's convs are also
-        # Pallas (then dense layouts flow end-to-end).
-        mode = os.environ.get("CFR_FUSED_EPILOGUE", "0")
-        min_res = int(os.environ.get("CFR_FUSED_EPILOGUE_MIN_RES", "1")
-                      or 10**9)
-        if fused and dtype == jnp.bfloat16 and x.shape[1] >= min_res:
-            if mode == "1" and (x.shape[2] * x.shape[3]) % 128 == 0 and \
-                    x.shape[1] % 8 == 0:
-                return _blur_epilogue_fused(p, x, w_layer, dtype=dtype,
-                                            prec=prec)
-            if mode == "bl" and x.shape[1] % 8 == 0 and \
-                    x.shape[2] % 8 == 0:
-                return _blur_epilogue_fused_bl(p, x, w_layer, dtype=dtype,
-                                               prec=prec)
         x = nn.blur_3x3(x, precision=prec)
         return _epilogue(p, x, w_layer, dtype=dtype, prec=prec)
 

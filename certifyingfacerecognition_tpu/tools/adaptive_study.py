@@ -20,6 +20,12 @@ AS_SLACK (0.1; 1.0 = stop at decision determination — the multi-x
 configuration), AS_GAP_TARGET (optional float), AS_RESOLUTION (1024),
 AS_MODES (comma list out of fixed,guaranteed,sequential; agreement vs
 fixed is only reported when fixed is in the list).
+
+AS_AB="FLAG=v1,v2": same-session A/B — re-run the whole study once per
+env-flag value in ONE process (fresh pipeline/trace per value; CFR_*
+flags are read at trace time), tagging each JSON line with the flag.
+This is the certify-loop side of the reproducible-claim discipline
+(docs/PERF.md round 4; bench.py --ab is the headline side).
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def run_study(tag=None):
     from ..models import iresnet, stylegan
     from ..models.pipeline import FacePipeline
     from ..smoothing.certificate import L2Certificate
@@ -124,7 +130,25 @@ def main():
             out["mean_gap_ratio_vs_fixed"] = (
                 round(float(np.mean([g / bg for g, bg in both])), 4)
                 if both else None)
+        if tag:
+            out["env"] = tag
         print(json.dumps(out), flush=True)
+
+
+def main():
+    ab = os.environ.get("AS_AB")
+    if not ab:
+        run_study()
+        return
+    flag, _, values = ab.partition("=")
+    if not values:
+        raise SystemExit(f"AS_AB needs FLAG=v1,v2 (got {ab!r})")
+    for val in values.split(","):
+        if val == "":
+            os.environ.pop(flag, None)
+        else:
+            os.environ[flag] = val
+        run_study(tag={flag: val or None})
 
 
 if __name__ == "__main__":
