@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from scipy.stats import norm
 
 from ..utils.stats import gaussian_quantile
 

@@ -70,7 +70,7 @@ def test_project_boundary_parity_with_reference():
         np.testing.assert_allclose(got, want, atol=2e-4)
         # orthogonality to every condition
         for c in conds[:k]:
-            assert abs(float(got @ c.T)) < 1e-4
+            assert abs((got @ c.T).item()) < 1e-4
 
 
 def test_project_boundary_no_conditions_is_identity():
