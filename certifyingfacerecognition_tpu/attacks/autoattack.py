@@ -11,7 +11,10 @@ The upstream Square attack is not adapted to Lsigma2 in the reference
 (SURVEY.md §2.5 — instantiated but unused); 'square' here dispatches to the
 ellipsoid-native score-based redesign (attacks/square.py). Untargeted FAB
 needs one VJP per gallery class (fab_pt.py:81-102) — the reference itself
-marks it intractable (gen_utils.py:283); requesting it raises.
+marks it intractable (gen_utils.py:283); requesting it raises, and the
+'plus' preset (which nominally includes it upstream, autoattack.py:300-307)
+runs here with that single documented omission — and with a Square that
+actually works on the ellipsoid, which the reference's cannot.
 """
 
 from __future__ import annotations
@@ -35,13 +38,21 @@ SUPPORTED = ("fab-t", "apgd-ce", "apgd-dlr", "apgd-t", "square")
 # apgd 1 restart, 9 target classes, square budget 5000. 'rand' drops to the
 # two APGD variants (its eot_iter=20 exists for *randomized* defenses; every
 # model here is deterministic and frozen, so EOT degenerates to eot_iter=1
-# and is intentionally not replicated). 'plus' includes untargeted FAB,
-# which the reference itself marks intractable at gallery scale
-# (gen_utils.py:283) — requesting it raises, like run_attack('fab').
+# and is intentionally not replicated). 'plus' mirrors the reference's
+# 6-attack list (autoattack.py:300-307: apgd/fab restarts 5, apgd-t
+# restarts 1, 9 targets) MINUS untargeted FAB, which the reference itself
+# marks intractable at gallery scale (one VJP per class, gen_utils.py:283)
+# — the one documented deviation; the reference's own Square is unusable
+# for Lsigma2 while ours is ellipsoid-native, so 'plus' here actually runs.
 VERSION_PRESETS = {
     "standard": ("apgd-ce", "apgd-t", "fab-t", "square"),
     "rand": ("apgd-ce", "apgd-dlr"),
+    "plus": ("apgd-ce", "apgd-dlr", "square", "apgd-t", "fab-t"),
 }
+
+# Per-version restart counts for the untargeted APGDs and FAB-t
+# (set_version: standard -> 1/1, plus -> 5/5; apgd-t stays 1 in both).
+VERSION_RESTARTS = {"standard": (1, 1), "rand": (1, 1), "plus": (5, 5)}
 
 
 class AttackResult(NamedTuple):
@@ -121,15 +132,17 @@ class StandardEvalResult(NamedTuple):
 
 def _dispatch_preset(name: str, logits_fn, labels, key, region,
                      n_target: int, square_queries: int,
-                     preset_iters: int = 100):
-    """One attack with its set_version('standard'/'rand') parameters
-    (autoattack.py:288-300 + ctor defaults :32-60). preset_iters scales
+                     preset_iters: int = 100, apgd_restarts: int = 1,
+                     fab_restarts: int = 1):
+    """One attack with its set_version('standard'/'rand'/'plus') parameters
+    (autoattack.py:284-316 + ctor defaults :32-60). preset_iters scales
     the per-attack iteration budget down from the reference's 100 for
-    smoke runs/tests."""
+    smoke runs/tests; apgd_restarts/fab_restarts carry the per-version
+    restart counts (plus = 5, others = 1)."""
     if name in ("apgd-ce", "apgd-dlr"):
         return apgd_attack(logits_fn, labels, key, region,
                            loss=name.split("-")[1], n_iter=preset_iters,
-                           n_restarts=1)
+                           n_restarts=apgd_restarts)
     if name == "apgd-t":
         return apgd_targeted_attack(logits_fn, labels, key, region,
                                     n_iter=preset_iters, n_restarts=1,
@@ -137,7 +150,8 @@ def _dispatch_preset(name: str, logits_fn, labels, key, region,
     if name == "fab-t":
         return fab_targeted(logits_fn, labels, key, region,
                             n_iter=preset_iters,
-                            n_restarts=1, n_target_classes=n_target)
+                            n_restarts=fab_restarts,
+                            n_target_classes=n_target)
     if name == "square":
         return square_attack(logits_fn, labels, key, region,
                              n_iter=square_queries, n_restarts=1)
@@ -184,13 +198,14 @@ def run_standard_evaluation(
         if version not in VERSION_PRESETS:
             raise ValueError(
                 f"unknown AutoAttack version {version!r}; known: "
-                f"{sorted(VERSION_PRESETS)} ('plus' includes untargeted FAB "
-                "— intractable at gallery scale, gen_utils.py:283)")
+                f"{sorted(VERSION_PRESETS)} (our 'plus' omits untargeted "
+                "FAB — intractable at gallery scale, gen_utils.py:283)")
         attacks_to_run = VERSION_PRESETS[version]
     for a in attacks_to_run:
         if a not in SUPPORTED:
             raise ValueError(f"unsupported attack {a!r} (supported: "
                              f"{SUPPORTED})")
+    apgd_restarts, fab_restarts = VERSION_RESTARTS.get(version, (1, 1))
 
     B = labels.shape[0]
     zeros = jnp.zeros((B, n_delta_dims), jnp.float32)
@@ -226,7 +241,8 @@ def run_standard_evaluation(
         else:
             adv_deltas = _dispatch_preset(name, logits_fn, labels, sub,
                                           region, n_target, square_queries,
-                                          preset_iters).deltas
+                                          preset_iters, apgd_restarts,
+                                          fab_restarts).deltas
         pred = _predict_fn(adv_deltas)
         newly = robust & (pred != labels)
         deltas = jnp.where(newly[:, None], adv_deltas, deltas)
@@ -312,6 +328,7 @@ def make_standard_evaluation(
             f"unknown AutoAttack version {version!r}; known: "
             f"{sorted(VERSION_PRESETS)}")
     attacks = VERSION_PRESETS[version]
+    apgd_restarts, fab_restarts = VERSION_RESTARTS[version]
     hi = jax.lax.Precision.HIGHEST
 
     def logits(params, lats, deltas):
@@ -328,7 +345,8 @@ def make_standard_evaluation(
         n_target = min(9, probe.shape[1] - 1)  # static; probe is DCE'd
         return _dispatch_preset(_name, lambda d: logits(params, lats, d),
                                 labels, key, region, n_target,
-                                square_queries, preset_iters).deltas
+                                square_queries, preset_iters,
+                                apgd_restarts, fab_restarts).deltas
 
     jitted = {name: jax.jit(partial(attack_fn, _name=name))
               for name in attacks}

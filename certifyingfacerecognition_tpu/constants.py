@@ -37,8 +37,9 @@ ATTACKS = ["fab-t", "fab", "apgd-ce", "apgd-dlr", "apgd-t", "manual",
            "square",
            # TPU-framework additions: the reference's full sequential
            # run_standard_evaluation (autoattack.py:93-238) with the
-           # 'standard' / 'rand' set_version presets (:284-316).
-           "autoattack", "autoattack-rand"]
+           # 'standard' / 'rand' / 'plus' set_version presets (:284-316;
+           # our 'plus' omits only untargeted FAB — see attacks/autoattack).
+           "autoattack", "autoattack-rand", "autoattack-plus"]
 
 LAT_SPACE = "w"
 DATASET = "ffhq"

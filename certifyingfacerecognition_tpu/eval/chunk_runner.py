@@ -79,7 +79,8 @@ def _make_attack_step(dists_fn: Callable, region: G.RegionMatrices, args
     parallelism — the attacks are per-sample optimisations, so XLA
     partitions them with no cross-sample collectives)."""
 
-    if args.attack_type in ("autoattack", "autoattack-rand"):
+    if args.attack_type in ("autoattack", "autoattack-rand",
+                            "autoattack-plus"):
         # Sequential multi-attack evaluation (run_standard_evaluation,
         # autoattack/autoattack.py:93-238): host loop over attacks with
         # robust-flag accumulation; each attack program is jitted once by
@@ -89,7 +90,7 @@ def _make_attack_step(dists_fn: Callable, region: G.RegionMatrices, args
         from ..attacks.autoattack import (AttackResult,
                                           make_standard_evaluation)
 
-        version = "rand" if args.attack_type.endswith("rand") else "standard"
+        version = args.attack_type.partition("-")[2] or "standard"
         run_eval = make_standard_evaluation(
             dists_fn, region, version=version,
             square_queries=getattr(args, "square_queries", 5000),
@@ -265,7 +266,8 @@ def eval_chunk(params: Dict, lat_codes: np.ndarray, num_chunk: int, args,
     n_succ = int(successes.sum())
     lin_comb = args.lin_comb or args.attack_type != "manual"
     if n_succ and args.attack_type not in ("fab-t", "fab", "autoattack",
-                                           "autoattack-rand"):
+                                           "autoattack-rand",
+                                           "autoattack-plus"):
         # (autoattack's kept deltas may come from its fab-t stage, which is
         # minimum-norm and may legitimately exceed the budget.)
         # Host-side feasibility check for the bounded attacks (check_deltas

@@ -303,9 +303,43 @@ def test_run_standard_evaluation_sequential_accumulation():
                                    region, version="rand")
     assert set(res3.robust_accuracy) <= {"clean", "apgd-ce", "apgd-dlr"}
 
-    with pytest.raises(ValueError, match="plus"):
+    with pytest.raises(ValueError, match="unknown AutoAttack version"):
         run_standard_evaluation(logits_fn, labels, jax.random.PRNGKey(0),
-                                region, version="plus")
+                                region, version="bogus")
+
+
+def test_run_standard_evaluation_plus_preset():
+    """'plus' (reference autoattack.py:300-307) runs the 6-attack list
+    minus untargeted FAB — the documented deviation — with the plus
+    restart counts (apgd/fab 5); attack order mirrors the reference's."""
+    from certifyingfacerecognition_tpu.attacks.autoattack import (
+        VERSION_PRESETS, VERSION_RESTARTS, run_standard_evaluation)
+
+    assert VERSION_PRESETS["plus"] == (
+        "apgd-ce", "apgd-dlr", "square", "apgd-t", "fab-t")
+    assert "fab" not in VERSION_PRESETS["plus"]
+    assert VERSION_RESTARTS["plus"] == (5, 5)
+
+    dists_fn, lats, labels, region = _toy_problem()
+    hi = jax.lax.Precision.HIGHEST
+
+    def logits_fn(deltas):
+        pert = jnp.dot(deltas, region.dirs.T, precision=hi)
+        return -dists_fn(lats + pert)
+
+    res = run_standard_evaluation(
+        logits_fn, labels, jax.random.PRNGKey(11), region, version="plus",
+        square_queries=30, preset_iters=10)
+    # Per-attack accuracies reported in order; monotone non-increasing.
+    reported = [k for k in res.robust_accuracy if k != "clean"]
+    order = [a for a in VERSION_PRESETS["plus"] if a in reported]
+    assert reported == order
+    accs = list(res.robust_accuracy.values())
+    assert all(a <= b + 1e-9 for a, b in zip(accs[1:], accs[:-1]))
+    # Recorded adversaries re-verify.
+    preds = np.asarray(jnp.argmax(logits_fn(res.deltas), axis=1))
+    np.testing.assert_array_equal(preds != np.asarray(labels),
+                                  np.asarray(res.success))
 
 
 def test_run_standard_evaluation_individual():

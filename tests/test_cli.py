@@ -313,6 +313,26 @@ def test_attack_autoattack_sequential(workdir, data_dir):
     assert "robust accuracy after APGD-CE" in log_text
 
 
+@pytest.mark.slow
+def test_attack_autoattack_plus(workdir, data_dir):
+    """--attack-type autoattack-plus: the reference's 'plus' preset
+    (autoattack.py:300-307) minus untargeted FAB (the one documented
+    deviation), end to end through the chunked CLI with per-attack
+    robust-accuracy reporting."""
+    main_attack.main(["--output-dir", "atk_aap", "--num-chunk", "0",
+                      "--attack-type", "autoattack-plus", "--square-queries",
+                      "10", "--autoattack-iters", "2",
+                      "--data-dir", data_dir, "--chunks", "2",
+                      "--batch-size", "2", "--resolution", str(RES),
+                      "--seed", "1"])
+    logs = os.listdir(osp.join("exp_results", "atk_aap", "logs"))
+    assert "results_chunk0of2.txt" in logs
+    log_text = open(osp.join("exp_results", "atk_aap", "chunk_0",
+                             "log.txt")).read()
+    assert "initial accuracy" in log_text
+    assert "robust accuracy after APGD-CE" in log_text
+
+
 def test_attack_synthesis_resolution(workdir, data_dir):
     """--synthesis-resolution truncates the pyramid while loading full
     --resolution weights (reduced-resolution attack path)."""
