@@ -464,12 +464,48 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray], resolution: int
     return params
 
 
+# Blocks at or below this resolution keep full spectral randomness under
+# spectral_gamma shaping; above it, high-frequency kernel content and
+# noise amplitude decay per octave (see random_torch_style_state_dict).
+SPECTRAL_BASE_RES = 32
+
+
 def random_torch_style_state_dict(resolution: int, seed: int = 0,
-                                  realistic: bool = False
+                                  realistic: bool = False,
+                                  spectral_gamma: float = 0.0
                                   ) -> Dict[str, np.ndarray]:
     """A randomly-initialised state dict with the reference's key naming and
-    shapes — used for golden tests and weight-free benchmarks."""
+    shapes — used for golden tests and weight-free benchmarks.
+
+    spectral_gamma > 0 produces *trained-like* spectral statistics (the
+    PSD-matched proxy of docs/PERF.md "PSD-matched proxy weights"): a
+    plain random generator emits near-white 1024² images (radial PSD
+    slope ~0) because each block's random 3×3 convs and unit-amplitude
+    noise inject full-band content that instance-norm renormalises —
+    whereas trained FFHQ faces have the natural-image ~1/f² power
+    spectrum (slope ~−2). Shaping: for a block with output resolution r,
+    every 3×3 conv kernel is blended toward its spatial DC,
+    ``k ← mean(k) + β (k − mean(k))`` with
+    ``β = min(1, (SPECTRAL_BASE_RES / r) ** spectral_gamma)``, and the
+    per-layer noise amplitude is scaled by the same β — so the detail
+    energy added per octave decays geometrically above 32², exactly how
+    a coarse-to-fine generator must distribute energy to emit 1/f². The
+    shaping transforms values AFTER drawing, so the RNG stream (and
+    therefore spectral_gamma=0 output) is unchanged. Calibrate γ against
+    the measured slope with tools/spectral_study.py."""
     rng = np.random.default_rng(seed)
+
+    def beta_for(res: int) -> float:
+        if not spectral_gamma:
+            return 1.0
+        return min(1.0, (SPECTRAL_BASE_RES / res) ** spectral_gamma)
+
+    def shape_conv(w: np.ndarray, spatial_axes, res: int) -> np.ndarray:
+        b = beta_for(res)
+        if b >= 1.0:
+            return w
+        m = w.mean(axis=spatial_axes, keepdims=True)
+        return m + b * (w - m)
     channels = RESOLUTIONS_TO_CHANNELS[resolution]
     sd = {}
     for i in range(MAPPING_LAYERS):
@@ -500,7 +536,7 @@ def random_torch_style_state_dict(resolution: int, seed: int = 0,
         sd[f"{pre}.epilogue.apply_noise.noise"] = rng.standard_normal(
             (1, 1, res, res)).astype(np.float32)
         sd[f"{pre}.epilogue.apply_noise.weight"] = rng.standard_normal(
-            out_ch).astype(np.float32) * 0.1
+            out_ch).astype(np.float32) * 0.1 * beta_for(res)
         sd[f"{pre}.epilogue.bias"] = rng.standard_normal(
             out_ch).astype(np.float32) * 0.1
         sd[f"{pre}.epilogue.style_mod.dense.linear.weight"] = \
@@ -511,11 +547,11 @@ def random_torch_style_state_dict(resolution: int, seed: int = 0,
             sd[f"{pre}.first_layer"] = rng.standard_normal(
                 (1, channels[0], 4, 4)).astype(np.float32)
         elif li % 2 == 0 and is_fused_layer(li):
-            sd[f"{pre}.weight"] = rng.standard_normal(
-                (3, 3, in_ch, out_ch)).astype(np.float32)
+            sd[f"{pre}.weight"] = shape_conv(rng.standard_normal(
+                (3, 3, in_ch, out_ch)).astype(np.float32), (0, 1), res)
         else:
-            sd[f"{pre}.conv.weight"] = rng.standard_normal(
-                (out_ch, in_ch, 3, 3)).astype(np.float32)
+            sd[f"{pre}.conv.weight"] = shape_conv(rng.standard_normal(
+                (out_ch, in_ch, 3, 3)).astype(np.float32), (2, 3), res)
 
     for oi in range(len(channels) - 1):
         ch = channels[oi + 1]
@@ -526,8 +562,9 @@ def random_torch_style_state_dict(resolution: int, seed: int = 0,
     return sd
 
 
-def random_params(resolution: int, seed: int = 0,
-                  realistic: bool = False) -> Dict:
+def random_params(resolution: int, seed: int = 0, realistic: bool = False,
+                  spectral_gamma: float = 0.0) -> Dict:
     return convert_torch_state_dict(
-        random_torch_style_state_dict(resolution, seed, realistic=realistic),
+        random_torch_style_state_dict(resolution, seed, realistic=realistic,
+                                      spectral_gamma=spectral_gamma),
         resolution)

@@ -12,7 +12,10 @@ Usage (real TPU):
 
 Env knobs: RS_IDS (identities certified, default 200), RS_GALLERY (total
 gallery rows, 1000), RS_N (MC samples, 1000), RS_N0 (100), RS_SIGMA (6.0),
-RS_ALPHA (0.001), RS_BATCH (128), RS_RESOLUTIONS ("1024,512,256").
+RS_ALPHA (0.001), RS_BATCH (128), RS_RESOLUTIONS ("1024,512,256"),
+RS_SPECTRAL_GAMMA (0 = plain random weights; >0 = PSD-matched
+trained-like proxy weights — calibrate with tools/spectral_study.py,
+docs/PERF.md "PSD-matched proxy weights").
 """
 
 from __future__ import annotations
@@ -47,8 +50,10 @@ def main():
     resolutions = [int(r) for r in os.environ.get(
         "RS_RESOLUTIONS", "1024,512,256").split(",")]
     native = max(resolutions)
+    spectral_gamma = float(os.environ.get("RS_SPECTRAL_GAMMA", "0"))
 
-    gen_params = stylegan.random_params(native, seed=0, realistic=True)
+    gen_params = stylegan.random_params(native, seed=0, realistic=True,
+                                        spectral_gamma=spectral_gamma)
     # realistic=True: He-scaled FRM weights whose embeddings actually
     # discriminate identities — the parity-test scaling collapses every
     # input onto one gallery class, making agreement trivially 100%.
@@ -99,7 +104,7 @@ def main():
         sps = samples / elapsed
         results[res] = (rows, elapsed, samples)
         print(json.dumps({
-            "resolution": res,
+            "resolution": res, "spectral_gamma": spectral_gamma,
             "ids": n_ids, "N": N, "N0": N0, "sigma": sigma_v,
             "embed_s": round(embed_t, 1),
             "certify_s_per_id": round(elapsed / n_timed, 3),
