@@ -477,32 +477,33 @@ def random_torch_style_state_dict(resolution: int, seed: int = 0,
     """A randomly-initialised state dict with the reference's key naming and
     shapes — used for golden tests and weight-free benchmarks.
 
-    spectral_gamma > 0 produces *trained-like* spectral statistics (the
-    PSD-matched proxy of docs/PERF.md "PSD-matched proxy weights"): a
-    plain random generator emits near-white 1024² images (radial PSD
-    slope ~0) because each block's random 3×3 convs and unit-amplitude
-    noise inject full-band content that instance-norm renormalises —
-    whereas trained FFHQ faces have the natural-image ~1/f² power
-    spectrum (slope ~−2). Shaping: for a block with output resolution r,
-    every 3×3 conv kernel is blended toward its spatial DC,
-    ``k ← mean(k) + β (k − mean(k))`` with
-    ``β = min(1, (SPECTRAL_BASE_RES / r) ** spectral_gamma)``, and the
-    per-layer noise amplitude is scaled by the same β — so the detail
-    energy added per octave decays geometrically above 32², exactly how
-    a coarse-to-fine generator must distribute energy to emit 1/f². The
+    spectral_gamma != 0 shapes the generator's output power spectrum (the
+    PSD-matched proxy of docs/PERF.md "PSD-matched proxy weights") toward
+    the natural-image ~1/f² law (radial slope ~−2). For a block with
+    output resolution r, every 3×3 conv kernel is blended around its
+    spatial DC, ``k ← mean(k) + β (k − mean(k))`` with
+    ``β = (SPECTRAL_BASE_RES / r) ** spectral_gamma`` (capped to
+    [1/8, 1] for γ>0 smoothing, [1, 8] for γ<0 whitening), and the
+    per-layer noise amplitude is scaled by the same β. Positive γ damps
+    the per-octave detail energy added above 32² (steeper spectrum);
+    negative γ amplifies it (flatter). Direction is weight-regime
+    dependent — measured at 1024² with realistic=True magnitudes the
+    UNSHAPED output is already steeper than natural (slope ≈ −3.0), so
+    matching −2 needs γ<0 (tools/spectral_study.py calibrates). The
     shaping transforms values AFTER drawing, so the RNG stream (and
-    therefore spectral_gamma=0 output) is unchanged. Calibrate γ against
-    the measured slope with tools/spectral_study.py."""
+    therefore spectral_gamma=0 output) is unchanged."""
     rng = np.random.default_rng(seed)
 
     def beta_for(res: int) -> float:
         if not spectral_gamma:
             return 1.0
-        return min(1.0, (SPECTRAL_BASE_RES / res) ** spectral_gamma)
+        b = (SPECTRAL_BASE_RES / max(res, SPECTRAL_BASE_RES)
+             ) ** spectral_gamma
+        return float(np.clip(b, 1.0 / 8.0, 8.0))
 
     def shape_conv(w: np.ndarray, spatial_axes, res: int) -> np.ndarray:
         b = beta_for(res)
-        if b >= 1.0:
+        if b == 1.0:
             return w
         m = w.mean(axis=spatial_axes, keepdims=True)
         return m + b * (w - m)

@@ -19,9 +19,14 @@ Pick the γ whose slope lands nearest −2 and feed it to the decision
 study: ``RS_SPECTRAL_GAMMA=<γ> tools/resolution_study.py`` in both σ
 regimes.
 
+Measured direction (round 4, 1024², realistic=True): the UNSHAPED
+random-weight output is already STEEPER than natural (slope −3.0, not
+the ~0 the round-3 interpretation assumed), so matching −2 needs
+negative γ (high-frequency amplification) — hence the default grid.
+
 Usage: python -m certifyingfacerecognition_tpu.tools.spectral_study
-Env: SS_GAMMAS ("0,0.5,1,1.5,2"), SS_RESOLUTION (1024), SS_IMAGES (8),
-SS_DTYPE (bf16), SS_SEED (0).
+Env: SS_GAMMAS ("0,-0.25,-0.5,-0.75,-1"), SS_RESOLUTION (1024),
+SS_IMAGES (8), SS_DTYPE (bf16), SS_SEED (0).
 """
 
 from __future__ import annotations
@@ -91,7 +96,7 @@ def measure_gamma(gamma: float, resolution: int, n_images: int,
 
 def main():
     gammas = [float(g) for g in os.environ.get(
-        "SS_GAMMAS", "0,0.5,1,1.5,2").split(",")]
+        "SS_GAMMAS", "0,-0.25,-0.5,-0.75,-1").split(",")]
     resolution = int(os.environ.get("SS_RESOLUTION", "1024"))
     n_images = int(os.environ.get("SS_IMAGES", "8"))
     dtype = jnp.bfloat16 if os.environ.get("SS_DTYPE", "bf16") == "bf16" \

@@ -61,9 +61,13 @@ def test_radial_psd_slope_known_signals():
     assert abs(s_pink + 2.0) < 0.4, s_pink
 
 
-def test_gamma_steepens_synthesized_spectrum():
+def test_gamma_shapes_synthesized_spectrum_both_directions():
     """The shaping lever works end-to-end through the real synthesis:
-    higher gamma -> more negative PSD slope (CPU, 128², f32)."""
+    positive gamma steepens the PSD slope (smoothing), negative gamma
+    flattens it (whitening — the direction the 1024² realistic-weight
+    calibration actually needs, docs/PERF.md). CPU, 128², f32."""
     s0 = measure_gamma(0.0, RES, n_images=4, dtype=jnp.float32)
-    s2 = measure_gamma(2.0, RES, n_images=4, dtype=jnp.float32)
-    assert s2 < s0 - 0.7, (s0, s2)
+    s_smooth = measure_gamma(2.0, RES, n_images=4, dtype=jnp.float32)
+    s_white = measure_gamma(-1.0, RES, n_images=4, dtype=jnp.float32)
+    assert s_smooth < s0 - 0.7, (s0, s_smooth)
+    assert s_white > s0 + 0.3, (s0, s_white)
