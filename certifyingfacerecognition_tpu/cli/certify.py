@@ -122,8 +122,21 @@ def build_parser() -> argparse.ArgumentParser:
                              "(coverage still holds at --alpha). Off by "
                              "default: the reference estimator is fixed-N.")
     parser.add_argument("--adaptive-chunk-batches", type=int, default=8,
-                        help="Batches between early-stop polls (each poll "
-                             "costs one ~30 ms device sync)")
+                        help="Batches between early-stop polls (with "
+                             "--adaptive-engine host each poll costs one "
+                             "~30 ms device sync; the device engine makes "
+                             "even --adaptive-chunk-batches 1 free)")
+    parser.add_argument("--adaptive-engine", type=str, default="host",
+                        choices=["host", "device"],
+                        help="'host': one dispatch + scalar pull per poll. "
+                             "'device': the whole certification (selection, "
+                             "MC loop, stopping rules) runs in ONE jitted "
+                             "program — a lax.while_loop compares the "
+                             "running success count against precomputed "
+                             "Clopper-Pearson integer thresholds "
+                             "(smoothing/adaptive_device.py); bit-identical "
+                             "results except guaranteed-mode "
+                             "--adaptive-gap-target (documented there)")
     parser.add_argument("--adaptive-slack", type=float, default=0.1,
                         help="Stop a settled certification once its "
                              "(conservative) gap is within this fraction of "
@@ -348,7 +361,8 @@ def main(argv=None) -> None:
                 mode=args.adaptive,
                 chunk_batches=args.adaptive_chunk_batches,
                 slack=args.adaptive_slack,
-                gap_target=args.adaptive_gap_target)
+                gap_target=args.adaptive_gap_target,
+                engine=args.adaptive_engine)
             print(f"adaptive[{args.adaptive}] id {i}: "
                   f"{n_used}/{args.N0 + args.N} samples")
             return pred, gap

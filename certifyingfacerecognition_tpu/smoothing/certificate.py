@@ -44,5 +44,13 @@ class L2Certificate(Certificate):
     def compute_gap(self, p_a_bar: float) -> float:
         return gaussian_quantile(p_a_bar)
 
+    def compute_gap_vec(self, p_a_bar):
+        """Vectorized compute_gap (numpy array in/out) — used by the
+        adaptive-device threshold builder (adaptive_device.build_thresholds)
+        to evaluate the stopping rule over all candidate success counts in
+        one scipy call."""
+        from scipy.stats import norm
+        return norm.ppf(p_a_bar)
+
     def compute_radius_estimate(self, probs: jnp.ndarray, sigma) -> jnp.ndarray:
         return sigma / 2.0 * self.compute_proxy_gap(probs)

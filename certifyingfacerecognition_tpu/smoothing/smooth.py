@@ -36,24 +36,17 @@ from ..utils.stats import binom_two_sided_pvalue, clopper_pearson_lower
 ABSTAIN = -1
 
 
-def make_counts_fn(predict_fn: Callable, num_classes: int,
+def _make_batch_fn(predict_fn: Callable, num_classes: int,
                    certificate: Certificate, batch_size: int,
                    noise_dim: int, mesh: Optional[Mesh] = None,
                    mc_axis: str = "mc", with_params: bool = False,
                    param_specs=None) -> Callable:
-    """Build the fused, scanned (and optionally sharded) counting program.
+    """One MC batch -> per-class counts [num_classes] (float32).
 
-    predict_fn(z [512], p [B, k]) -> int32 predictions [B]. The returned
-    function maps (z, x [k], sigma, keys [n_batches], valid [n_batches]) to
-    per-class counts [num_classes] (float32), counting only the first
-    ``valid[i]`` samples of batch i so the total matches the requested N
-    exactly (mirrors the min(batch_size, num) loop at smooth.py:126-137).
-
-    With ``with_params=True``, predict_fn takes (params, z, p) and the
-    returned function takes a leading ``params`` pytree. Model weights MUST
-    travel this way rather than via closure capture: closed-over arrays are
-    baked into the compiled program as constants, which bloats the HLO by
-    the full weight footprint (and overflows remote-compile transports).
+    The shared primitive under both the fixed-N scan (make_counts_fn) and
+    the in-graph adaptive loop (adaptive_device.make_adaptive_run_fn).
+    Signature of the returned fn: (params, z, x, sigma, key, n_valid);
+    ``params`` is ignored when with_params=False.
     """
 
     def batch_counts(params, z, x, sigma, key, n_valid):
@@ -96,9 +89,35 @@ def make_counts_fn(predict_fn: Callable, num_classes: int,
 
             return inner(params, z, x, sigma, key, n_valid)
 
-        batch_fn = sharded_batch_counts
-    else:
-        batch_fn = batch_counts
+        return sharded_batch_counts
+    return batch_counts
+
+
+def make_counts_fn(predict_fn: Callable, num_classes: int,
+                   certificate: Certificate, batch_size: int,
+                   noise_dim: int, mesh: Optional[Mesh] = None,
+                   mc_axis: str = "mc", with_params: bool = False,
+                   param_specs=None, batch_fn: Optional[Callable] = None
+                   ) -> Callable:
+    """Build the fused, scanned (and optionally sharded) counting program.
+
+    predict_fn(z [512], p [B, k]) -> int32 predictions [B]. The returned
+    function maps (z, x [k], sigma, keys [n_batches], valid [n_batches]) to
+    per-class counts [num_classes] (float32), counting only the first
+    ``valid[i]`` samples of batch i so the total matches the requested N
+    exactly (mirrors the min(batch_size, num) loop at smooth.py:126-137).
+
+    With ``with_params=True``, predict_fn takes (params, z, p) and the
+    returned function takes a leading ``params`` pytree. Model weights MUST
+    travel this way rather than via closure capture: closed-over arrays are
+    baked into the compiled program as constants, which bloats the HLO by
+    the full weight footprint (and overflows remote-compile transports).
+    """
+    if batch_fn is None:
+        batch_fn = _make_batch_fn(predict_fn, num_classes, certificate,
+                                  batch_size, noise_dim, mesh=mesh,
+                                  mc_axis=mc_axis, with_params=with_params,
+                                  param_specs=param_specs)
 
     @jax.jit
     def counts_fn(params, z, x, sigma, keys, valid):
@@ -144,14 +163,23 @@ class Smooth:
         self.batch_size = batch_size
         self.noise_dim = noise_dim
         self.params = params
+        self._with_params = params is not None
+        self._batch_fn = _make_batch_fn(
+            predict_fn, num_classes, certificate, batch_size, noise_dim,
+            mesh=mesh, with_params=self._with_params,
+            param_specs=param_specs)
         counts_fn = make_counts_fn(
             predict_fn, num_classes, certificate, batch_size, noise_dim,
-            mesh=mesh, with_params=params is not None,
-            param_specs=param_specs)
+            mesh=mesh, with_params=self._with_params,
+            param_specs=param_specs, batch_fn=self._batch_fn)
         if params is not None:
             self._counts_fn = lambda *a: counts_fn(self.params, *a)
         else:
             self._counts_fn = counts_fn
+        # (run_fn, thresholds) caches for the in-graph adaptive engine,
+        # keyed by loop shape / full rule config respectively.
+        self._adaptive_run_cache = {}
+        self._adaptive_tab_cache = {}
 
     def _sample_noise(self, z, x, num: int, key: jax.Array) -> np.ndarray:
         """Per-class counts from ``num`` noisy forwards (smooth.py:109-138)."""
@@ -194,7 +222,8 @@ class Smooth:
     def certify_adaptive(self, z, x, label: int, n0: int, n: int,
                          alpha: float, key: jax.Array,
                          mode: str = "guaranteed", chunk_batches: int = 8,
-                         slack: float = 0.1, gap_target=None):
+                         slack: float = 0.1, gap_target=None,
+                         engine: str = "host"):
         """Early-stopping certification. Returns (prediction, gap, n_used).
 
         The fixed-N estimator (``certify``) spends the full N MC samples on
@@ -241,10 +270,29 @@ class Smooth:
 
         Both modes leave the N0 selection phase untouched. Opt-in: the
         reference's estimator is the fixed-N one, so adaptive mode is never
-        the default (BASELINE 'decisions matching reference')."""
+        the default (BASELINE 'decisions matching reference').
+
+        ``engine="host"`` polls the running count every ``chunk_batches``
+        batches with one device dispatch + scalar pull per checkpoint
+        (~30 ms each under the axon tunnel). ``engine="device"`` runs the
+        ENTIRE certification — selection, MC loop, and stopping rules —
+        in one jitted program (lax.while_loop over checkpoints comparing
+        n_a against precomputed integer Clopper-Pearson thresholds; see
+        adaptive_device.py), making single-batch polling free. Results are
+        bit-identical to the host engine whenever the rule set is exactly
+        monotone in n_a (always, except guaranteed-mode gap_target, where
+        the device engine may stop later and emit a >= but still valid
+        gap)."""
         from ..utils.stats import clopper_pearson_upper
 
         assert mode in ("guaranteed", "sequential"), mode
+        assert engine in ("host", "device"), engine
+        if engine == "device":
+            from .adaptive_device import certify_adaptive_device
+            return certify_adaptive_device(
+                self, z, x, label, n0, n, alpha, key, mode=mode,
+                chunk_batches=chunk_batches, slack=slack,
+                gap_target=gap_target)
         k0, k1 = jax.random.split(key)
         counts0 = self._sample_noise(z, x, n0, k0)
         c_a_hat = int(counts0.argmax())

@@ -19,7 +19,9 @@ early stopping pays; 6.0 = the decision-boundary regime), AS_ALPHA
 AS_SLACK (0.1; 1.0 = stop at decision determination — the multi-x
 configuration), AS_GAP_TARGET (optional float), AS_RESOLUTION (1024),
 AS_MODES (comma list out of fixed,guaranteed,sequential; agreement vs
-fixed is only reported when fixed is in the list).
+fixed is only reported when fixed is in the list), AS_ENGINE (host |
+device — the in-graph lax.while_loop engine with zero per-checkpoint
+host pulls, smoothing/adaptive_device.py; fixed mode ignores it).
 
 AS_AB="FLAG=v1,v2": same-session A/B — re-run the whole study once per
 env-flag value in ONE process (fresh pipeline/trace per value; CFR_*
@@ -58,6 +60,7 @@ def run_study(tag=None):
     gap_target = os.environ.get("AS_GAP_TARGET")
     gap_target = float(gap_target) if gap_target else None
     resolution = int(os.environ.get("AS_RESOLUTION", "1024"))
+    engine = os.environ.get("AS_ENGINE", "host")
 
     gen_params = stylegan.random_params(resolution, seed=0, realistic=True)
     frm_params = iresnet.convert_torch_state_dict(
@@ -95,7 +98,8 @@ def run_study(tag=None):
             else:
                 pred, gap, used = smoothed.certify_adaptive(
                     w_all[i], x, i, N0, N, alpha, k, mode=mode,
-                    chunk_batches=chunk, slack=slack, gap_target=gap_target)
+                    chunk_batches=chunk, slack=slack, gap_target=gap_target,
+                    engine=engine)
             if t_start is None:    # exclude the one-time XLA compile
                 t_start = time.time()
             else:
@@ -114,6 +118,7 @@ def run_study(tag=None):
             "mode": mode, "ids": n_ids, "N": N, "N0": N0, "sigma": sigma_v,
             "batch": batch, "chunk_batches": chunk, "slack": slack,
             "gap_target": gap_target,
+            "engine": engine if mode != "fixed" else None,
             "samples_per_id": round(samples / n_timed, 1),
             "certify_s_per_id": round(elapsed / n_timed, 3),
             "ids_per_hour": round(3600.0 * n_timed / elapsed, 1),

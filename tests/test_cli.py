@@ -181,6 +181,14 @@ def test_certify_adaptive_guaranteed_matches_fixed(workdir, data_dir,
     fixed, adapt = rows(out_fixed), rows(out_adapt)
     assert fixed == adapt, (fixed, adapt)
 
+    # The in-graph engine (one dispatch per identity, zero host polls)
+    # must emit the identical TSV.
+    out_dev = osp.join(workdir, "cert_adapt_dev.tsv")
+    certify.main(["--outfile", out_dev, "--adaptive", "guaranteed",
+                  "--adaptive-engine", "device", "--adaptive-chunk-batches",
+                  "1", "--adaptive-slack", "0.0"] + common)
+    assert rows(out_dev) == adapt
+
     # sequential mode also runs end-to-end and emits schema-valid rows
     out_seq = osp.join(workdir, "cert_seq.tsv")
     certify.main(["--outfile", out_seq, "--adaptive", "sequential"] + common)
