@@ -137,6 +137,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "(smoothing/adaptive_device.py); bit-identical "
                              "results except guaranteed-mode "
                              "--adaptive-gap-target (documented there)")
+    parser.add_argument("--adaptive-group", type=int, default=1,
+                        help="Device engine only: certify this many "
+                             "identities per dispatch (lax.map over the "
+                             "in-graph loop; results per identity are "
+                             "bit-identical to group 1). Amortises the "
+                             "per-dispatch launch + result-pull overhead "
+                             "(~46 ms/id measured through the axon tunnel) "
+                             "— the dominant cost once adaptive stopping "
+                             "cuts compute to ~2 batches/id. Incompatible "
+                             "with --cascade.")
     parser.add_argument("--adaptive-slack", type=float, default=0.1,
                         help="Stop a settled certification once its "
                              "(conservative) gap is within this fraction of "
@@ -332,6 +342,53 @@ def main(argv=None) -> None:
 
     x = np.zeros((num_dirs,), np.float32)
     key = jax.random.PRNGKey(args.seed)
+
+    if args.adaptive != "off" and args.adaptive_group > 1:
+        if args.adaptive_engine != "device":
+            raise SystemExit("--adaptive-group > 1 requires "
+                             "--adaptive-engine device")
+        if smoothed_native is not None:
+            raise SystemExit("--adaptive-group is incompatible with "
+                             "--cascade")
+        # Reference striding arithmetic (certify.py:121-125), identical to
+        # the per-identity loop below including its quirky ordering (the
+        # --max break is only reached by indices that pass --skip).
+        eligible = []
+        for i in range(num_classes):
+            if (i + 1) % args.skip != 0:
+                continue
+            if (i + 1) == args.max:
+                break
+            if i not in done:
+                eligible.append(i)
+        group = args.adaptive_group
+        for g0 in range(0, len(eligible), group):
+            ids = eligible[g0:g0 + group]
+            before = time()
+            results = smoothed.certify_adaptive_many(
+                [dataset[i] for i in ids], [x] * len(ids), ids,
+                args.N0, args.N, args.alpha,
+                [jax.random.fold_in(key, i) for i in ids],
+                mode=args.adaptive,
+                chunk_batches=args.adaptive_chunk_batches,
+                slack=args.adaptive_slack,
+                gap_target=args.adaptive_gap_target, pad_to=group)
+            # The TSV time column reports per-identity wall-clock; inside
+            # a group that is the dispatch time split evenly.
+            per_id = (time() - before) / len(ids)
+            for i, (prediction, gap, n_used) in zip(ids, results):
+                print(f"adaptive[{args.adaptive}] id {i}: "
+                      f"{n_used}/{args.N0 + args.N} samples")
+                elapsed = str(datetime.timedelta(seconds=per_id))
+                correct = int(prediction == i)
+                radius = float(np.min(sigma)) * gap
+                if is_writer:
+                    with open(args.outfile, "a") as f:
+                        print(f"{i}\t{i}\t{prediction}\t{correct}\t"
+                              f"{gap:.3}\t{radius:.3}\t{elapsed}", file=f,
+                              flush=True)
+        return
+
     for i in range(num_classes):
         # Reference striding arithmetic (certify.py:121-125).
         if (i + 1) % args.skip != 0:

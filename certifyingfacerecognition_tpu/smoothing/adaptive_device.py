@@ -194,21 +194,22 @@ def build_thresholds(mode: str, n: int, valid: np.ndarray,
 RUNNING, EMIT, ABSTAIN_STATUS, SELECTION_FAIL = 0, 1, 2, 3
 
 
-def make_adaptive_run_fn(batch_fn: Callable, num_classes: int,
-                         chunk_batches: int, n_chunks: int) -> Callable:
-    """Build the single-dispatch adaptive certification program.
+def _make_run_core(batch_fn: Callable, num_classes: int,
+                   chunk_batches: int, n_chunks: int) -> Callable:
+    """The traceable single-identity certification core shared by the
+    one-identity (make_adaptive_run_fn) and grouped
+    (make_adaptive_run_many_fn) programs: N0 selection scan, then a
+    lax.while_loop over checkpoints whose body scans ``chunk_batches`` MC
+    batches and compares the running success count against the threshold
+    tables — zero host round-trips.
 
     ``batch_fn(params, z, x, sigma, key, n_valid) -> counts [num_classes]``
     is the (optionally shard_map-sharded) primitive from
-    smooth._make_batch_fn. The returned jitted function maps
+    smooth._make_batch_fn. Signature of the returned traceable:
 
         (params, z, x, sigma, keys0 [B0,·], valid0 [B0],
          keys [K*C,·], valid [K*C], label, t_emit [K], t_abst [K])
-        -> (c_a_hat, n_a, m, k_stop, status)   # five int32 scalars
-
-    running the N0 selection scan, then a lax.while_loop over checkpoints
-    whose body scans ``chunk_batches`` MC batches and compares the running
-    success count against the threshold tables — zero host round-trips.
+        -> int32[5]   # stacked (c_a_hat, n_a, m, k_stop, status)
     """
 
     def _scan_counts(params, z, x, sigma, keys_i, valid_i):
@@ -219,7 +220,6 @@ def make_adaptive_run_fn(batch_fn: Callable, num_classes: int,
         counts, _ = jax.lax.scan(body, init, (keys_i, valid_i))
         return counts
 
-    @jax.jit
     def run(params, z, x, sigma, keys0, valid0, keys, valid, label,
             t_emit, t_abst):
         counts0 = _scan_counts(params, z, x, sigma, keys0, valid0)
@@ -247,66 +247,103 @@ def make_adaptive_run_fn(batch_fn: Callable, num_classes: int,
 
         init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), status0)
         k, n_a, m, status = jax.lax.while_loop(cond, body, init)
-        return c_a_hat, n_a, m, k - 1, status
+        # ONE stacked array, not five scalars: each standalone scalar costs
+        # its own ~30 ms host pull under the axon tunnel, which at the
+        # sigma=0.1 operating point (~0.25 s/id compute) would eat the
+        # engine's entire dispatch-overhead win (measured: 0.392 s/id with
+        # five pulls vs 0.336 host-engine — docs/PERF.md round 4).
+        return jnp.stack([c_a_hat, n_a, m, k - 1, status])
 
     return run
 
 
-def certify_adaptive_device(smooth, z, x, label: int, n0: int, n: int,
-                            alpha: float, key: jax.Array, mode: str,
-                            chunk_batches: int, slack: float, gap_target):
-    """Engine="device" backend for Smooth.certify_adaptive.
+def make_adaptive_run_fn(batch_fn: Callable, num_classes: int,
+                         chunk_batches: int, n_chunks: int) -> Callable:
+    """Jit the single-identity certification program (see _make_run_core)."""
+    return jax.jit(_make_run_core(batch_fn, num_classes, chunk_batches,
+                                  n_chunks))
 
-    Consumes the same key/valid streams as the host engines, runs the
-    whole certification in one dispatch, then reconstructs the host
-    engine's return tuple (prediction, gap, n_used) from the five scalars.
+
+def make_adaptive_run_many_fn(batch_fn: Callable, num_classes: int,
+                              chunk_batches: int, n_chunks: int) -> Callable:
+    """Build the GROUPED certification program: G identities per dispatch.
+
+    One MC batch already saturates the chip, so the group is a
+    ``lax.map`` (sequential in-graph) over the single-identity core, NOT a
+    vmap — a vmap'd while_loop would run every lane until the slowest
+    stops, wasting compute on stragglers, whereas lax.map gives each
+    identity its own early exit. What grouping buys is the amortisation
+    of the per-dispatch overhead (launch + one ~30 ms result pull under
+    the axon tunnel) over G identities — the dominant cost once adaptive
+    stopping cuts per-identity compute to ~2 batches (docs/PERF.md,
+    "Adaptive at the REFERENCE operating point").
+
+    Signature: like the single-identity program but with a leading group
+    axis G on (z, x, keys0, keys, label); (params, sigma, valid0, valid,
+    t_emit, t_abst) are shared. Returns int32[G, 5].
     """
-    from .smooth import ABSTAIN
-    from ..utils.stats import clopper_pearson_lower
+    core = _make_run_core(batch_fn, num_classes, chunk_batches, n_chunks)
 
+    @jax.jit
+    def run_many(params, zs, xs, sigma, keys0s, valid0, keyss, valid,
+                 labels, t_emit, t_abst):
+        def one(per_id):
+            z, x, keys0, keys, label = per_id
+            return core(params, z, x, sigma, keys0, valid0, keys, valid,
+                        label, t_emit, t_abst)
+        return jax.lax.map(one, (zs, xs, keys0s, keyss, labels))
+
+    return run_many
+
+
+def _loop_shapes(smooth, n0: int, n: int, chunk_batches: int):
     bs = smooth.batch_size
     n0_batches = math.ceil(n0 / bs)
     n_batches = math.ceil(n / bs)
     n_chunks = math.ceil(n_batches / chunk_batches)
     padded = n_chunks * chunk_batches
-
-    k0, k1 = jax.random.split(key)
-    keys0 = jax.random.split(k0, n0_batches)
     valid0 = jnp.full((n0_batches,), bs, jnp.int32).at[-1].set(
         n0 - (n0_batches - 1) * bs)
-    all_keys = jax.random.split(k1, n_batches)
     valid = np.zeros((padded,), np.int64)
     valid[:n_batches] = bs
     valid[n_batches - 1] = n - (n_batches - 1) * bs
+    return n0_batches, n_batches, n_chunks, padded, valid0, valid
+
+
+def _key_streams(key: jax.Array, n0_batches: int, n_batches: int,
+                 padded: int):
+    """Per-identity key streams — EXACTLY the host engines' derivation
+    (certify_adaptive: split(key) -> N0 stream + MC stream)."""
+    k0, k1 = jax.random.split(key)
+    keys0 = jax.random.split(k0, n0_batches)
+    all_keys = jax.random.split(k1, n_batches)
     if padded > n_batches:
         all_keys = jnp.concatenate(
             [all_keys, jnp.zeros((padded - n_batches,) + all_keys.shape[1:],
                                  all_keys.dtype)])
+    return keys0, all_keys
 
-    tab_key = (mode, n, bs, chunk_batches, alpha, slack, gap_target,
-               id(smooth.certificate))
+
+def _get_tab(smooth, mode: str, n: int, valid, chunk_batches: int,
+             alpha: float, slack: float, gap_target) -> ThresholdTable:
+    tab_key = (mode, n, smooth.batch_size, chunk_batches, alpha, slack,
+               gap_target, id(smooth.certificate))
     tab = smooth._adaptive_tab_cache.get(tab_key)
     if tab is None:
         tab = build_thresholds(mode, n, valid, chunk_batches, alpha,
                                smooth.certificate, slack, gap_target)
         smooth._adaptive_tab_cache[tab_key] = tab
+    return tab
 
-    run_key = (chunk_batches, n_chunks)
-    run = smooth._adaptive_run_cache.get(run_key)
-    if run is None:
-        run = make_adaptive_run_fn(smooth._batch_fn, smooth.num_classes,
-                                   chunk_batches, n_chunks)
-        smooth._adaptive_run_cache[run_key] = run
 
-    c_a_hat, n_a, m, k_stop, status = run(
-        smooth.params, jnp.asarray(z, jnp.float32),
-        jnp.asarray(x, jnp.float32), smooth.sigma, keys0, valid0,
-        all_keys, jnp.asarray(valid, jnp.int32), jnp.int32(label),
-        jnp.asarray(tab.t_emit, jnp.int32),
-        jnp.asarray(tab.t_abst, jnp.int32))
-    c_a_hat, n_a, m, k_stop, status = (
-        int(c_a_hat), int(n_a), int(m), int(k_stop), int(status))
+def _result_from_row(smooth, tab: ThresholdTable, mode: str, n0: int,
+                     n: int, n_chunks: int, alpha: float, row):
+    """(c_a_hat, n_a, m, k_stop, status) -> the host engine's
+    (prediction, gap, n_used) tuple, same scalar arithmetic."""
+    from .smooth import ABSTAIN
+    from ..utils.stats import clopper_pearson_lower
 
+    c_a_hat, n_a, m, k_stop, status = (int(v) for v in row)
     if status == SELECTION_FAIL:
         return c_a_hat, 0.0, n0
     if status == ABSTAIN_STATUS:
@@ -321,3 +358,89 @@ def certify_adaptive_device(smooth, z, x, label: int, n0: int, n: int,
         gap = smooth.certificate.compute_gap(
             clopper_pearson_lower(n_a, m, a_k))
     return c_a_hat, gap, n0 + m
+
+
+def certify_adaptive_device(smooth, z, x, label: int, n0: int, n: int,
+                            alpha: float, key: jax.Array, mode: str,
+                            chunk_batches: int, slack: float, gap_target):
+    """Engine="device" backend for Smooth.certify_adaptive.
+
+    Consumes the same key/valid streams as the host engines, runs the
+    whole certification in one dispatch, then reconstructs the host
+    engine's return tuple (prediction, gap, n_used) from the five scalars.
+    """
+    (n0_batches, n_batches, n_chunks, padded, valid0,
+     valid) = _loop_shapes(smooth, n0, n, chunk_batches)
+    keys0, all_keys = _key_streams(key, n0_batches, n_batches, padded)
+    tab = _get_tab(smooth, mode, n, valid, chunk_batches, alpha, slack,
+                   gap_target)
+
+    run_key = (chunk_batches, n_chunks)
+    run = smooth._adaptive_run_cache.get(run_key)
+    if run is None:
+        run = make_adaptive_run_fn(smooth._batch_fn, smooth.num_classes,
+                                   chunk_batches, n_chunks)
+        smooth._adaptive_run_cache[run_key] = run
+
+    out = np.asarray(run(
+        smooth.params, jnp.asarray(z, jnp.float32),
+        jnp.asarray(x, jnp.float32), smooth.sigma, keys0, valid0,
+        all_keys, jnp.asarray(valid, jnp.int32), jnp.int32(label),
+        jnp.asarray(tab.t_emit, jnp.int32),
+        jnp.asarray(tab.t_abst, jnp.int32)))   # one host pull
+    return _result_from_row(smooth, tab, mode, n0, n, n_chunks, alpha, out)
+
+
+def certify_adaptive_device_many(smooth, zs, xs, labels, n0: int, n: int,
+                                 alpha: float, keys, mode: str,
+                                 chunk_batches: int, slack: float,
+                                 gap_target, pad_to: int = 0):
+    """Grouped device engine: certify G identities in ONE dispatch.
+
+    Per-identity inputs: ``zs [G, ...]``, ``xs [G, k]``, ``labels [G]``,
+    ``keys [G]`` PRNG keys (each identity's key = what the per-identity
+    path would receive, e.g. fold_in(master, i) in the CLI). Every
+    identity's result is bit-identical to a ``certify_adaptive_device``
+    call with the same key: the key streams, threshold tables, and the
+    final scalar arithmetic are the same code — grouping only amortises
+    the dispatch + result-pull overhead over G.
+
+    ``pad_to``: compile-shape bucket. When G < pad_to the group is padded
+    by repeating identity 0 (results discarded), so a CLI sweep reuses ONE
+    compiled program for every group including the ragged tail. Returns a
+    list of G (prediction, gap, n_used) tuples.
+    """
+    g = len(labels)
+    assert g >= 1 and len(zs) == len(xs) == len(keys) == g
+    g_pad = max(g, pad_to)
+
+    (n0_batches, n_batches, n_chunks, padded, valid0,
+     valid) = _loop_shapes(smooth, n0, n, chunk_batches)
+    tab = _get_tab(smooth, mode, n, valid, chunk_batches, alpha, slack,
+                   gap_target)
+
+    streams = [_key_streams(keys[i], n0_batches, n_batches, padded)
+               for i in range(g)]
+    idx = list(range(g)) + [0] * (g_pad - g)
+    keys0s = jnp.stack([streams[i][0] for i in idx])
+    keyss = jnp.stack([streams[i][1] for i in idx])
+    zs_arr = jnp.asarray(np.stack([np.asarray(zs[i]) for i in idx]),
+                         jnp.float32)
+    xs_arr = jnp.asarray(np.stack([np.asarray(xs[i]) for i in idx]),
+                         jnp.float32)
+    labels_arr = jnp.asarray([int(labels[i]) for i in idx], jnp.int32)
+
+    run_key = (chunk_batches, n_chunks, "many", g_pad)
+    run = smooth._adaptive_run_cache.get(run_key)
+    if run is None:
+        run = make_adaptive_run_many_fn(
+            smooth._batch_fn, smooth.num_classes, chunk_batches, n_chunks)
+        smooth._adaptive_run_cache[run_key] = run
+
+    rows = np.asarray(run(
+        smooth.params, zs_arr, xs_arr, smooth.sigma, keys0s, valid0, keyss,
+        jnp.asarray(valid, jnp.int32), labels_arr,
+        jnp.asarray(tab.t_emit, jnp.int32),
+        jnp.asarray(tab.t_abst, jnp.int32)))   # one host pull for G ids
+    return [_result_from_row(smooth, tab, mode, n0, n, n_chunks, alpha,
+                             rows[i]) for i in range(g)]

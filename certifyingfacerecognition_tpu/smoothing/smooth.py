@@ -362,3 +362,29 @@ class Smooth:
                 if last:
                     return ABSTAIN, 0.0, n0 + m
         raise AssertionError("unreachable")  # pragma: no cover
+
+    def certify_adaptive_many(self, zs, xs, labels, n0: int, n: int,
+                              alpha: float, keys,
+                              mode: str = "guaranteed",
+                              chunk_batches: int = 8, slack: float = 0.1,
+                              gap_target=None, pad_to: int = 0):
+        """Grouped early-stopping certification: G identities per dispatch.
+
+        Device-engine only (grouping a host-poll loop would multiply, not
+        amortise, its per-checkpoint pulls). Each identity's
+        (prediction, gap, n_used) is bit-identical to
+        ``certify_adaptive(..., engine="device")`` — and therefore to the
+        host engine wherever the rules are exactly monotone — given the
+        same per-identity key; see adaptive_device.py. Grouping exists
+        because adaptive stopping shrinks per-identity device time to a
+        couple of batches (~0.25 s at the sigma=0.1 operating point),
+        at which point the per-dispatch launch + result-pull overhead
+        (~46 ms/id measured) dominates the savings curve; one dispatch
+        per G identities divides it by G. ``pad_to`` buckets the compile
+        shape so a ragged final group reuses the same program."""
+        assert mode in ("guaranteed", "sequential"), mode
+        from .adaptive_device import certify_adaptive_device_many
+        return certify_adaptive_device_many(
+            self, zs, xs, labels, n0, n, alpha, keys, mode=mode,
+            chunk_batches=chunk_batches, slack=slack,
+            gap_target=gap_target, pad_to=pad_to)

@@ -21,7 +21,9 @@ configuration), AS_GAP_TARGET (optional float), AS_RESOLUTION (1024),
 AS_MODES (comma list out of fixed,guaranteed,sequential; agreement vs
 fixed is only reported when fixed is in the list), AS_ENGINE (host |
 device — the in-graph lax.while_loop engine with zero per-checkpoint
-host pulls, smoothing/adaptive_device.py; fixed mode ignores it).
+host pulls, smoothing/adaptive_device.py; fixed mode ignores it),
+AS_GROUP (identities per dispatch, device engine only — lax.map over
+the in-graph loop, amortising the per-dispatch launch + pull overhead).
 
 AS_AB="FLAG=v1,v2": same-session A/B — re-run the whole study once per
 env-flag value in ONE process (fresh pipeline/trace per value; CFR_*
@@ -61,6 +63,9 @@ def run_study(tag=None):
     gap_target = float(gap_target) if gap_target else None
     resolution = int(os.environ.get("AS_RESOLUTION", "1024"))
     engine = os.environ.get("AS_ENGINE", "host")
+    group = int(os.environ.get("AS_GROUP", "1"))
+    if group > 1:
+        assert engine == "device", "AS_GROUP > 1 requires AS_ENGINE=device"
 
     gen_params = stylegan.random_params(resolution, seed=0, realistic=True)
     frm_params = iresnet.convert_torch_state_dict(
@@ -88,6 +93,8 @@ def run_study(tag=None):
     x = np.zeros((5,), np.float32)
 
     def certify_mode(mode):
+        if mode != "fixed" and group > 1:
+            return certify_mode_grouped(mode)
         rows, t_start, samples = [], None, 0
         for i in range(n_ids):
             k = jax.random.fold_in(key, i)
@@ -107,18 +114,38 @@ def run_study(tag=None):
             rows.append((int(pred), float(gap)))
         return rows, time.time() - t_start, samples
 
+    def certify_mode_grouped(mode):
+        # AS_GROUP identities per dispatch; the first GROUP is the compile
+        # run and is excluded from the clock, mirroring the per-identity
+        # protocol (n_timed below stays n_ids - group).
+        rows, t_start, samples = [], None, 0
+        for g0 in range(0, n_ids, group):
+            ids = list(range(g0, min(g0 + group, n_ids)))
+            out = smoothed.certify_adaptive_many(
+                [w_all[i] for i in ids], [x] * len(ids), ids, N0, N, alpha,
+                [jax.random.fold_in(key, i) for i in ids], mode=mode,
+                chunk_batches=chunk, slack=slack, gap_target=gap_target,
+                pad_to=group)
+            if t_start is None:
+                t_start = time.time()
+            else:
+                samples += sum(used for _, _, used in out)
+            rows.extend((int(p), float(g)) for p, g, _ in out)
+        return rows, time.time() - t_start, samples
+
     modes = [m.strip() for m in os.environ.get(
         "AS_MODES", "fixed,guaranteed,sequential").split(",") if m.strip()]
     results = {}
     for mode in modes:
         rows, elapsed, samples = certify_mode(mode)
         results[mode] = rows
-        n_timed = n_ids - 1
+        n_timed = n_ids - (group if mode != "fixed" and group > 1 else 1)
         out = {
             "mode": mode, "ids": n_ids, "N": N, "N0": N0, "sigma": sigma_v,
             "batch": batch, "chunk_batches": chunk, "slack": slack,
             "gap_target": gap_target,
             "engine": engine if mode != "fixed" else None,
+            "group": group if mode != "fixed" else None,
             "samples_per_id": round(samples / n_timed, 1),
             "certify_s_per_id": round(elapsed / n_timed, 3),
             "ids_per_hour": round(3600.0 * n_timed / elapsed, 1),

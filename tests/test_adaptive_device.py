@@ -106,6 +106,56 @@ def test_device_engine_sharded_mesh():
     assert n_used < 100 + 4000  # early stop fired under shard_map
 
 
+@pytest.mark.parametrize("mode", ["sequential", "guaranteed"])
+def test_grouped_engine_bit_parity_with_single(mode):
+    # One group mixing all three outcome regimes via per-identity x
+    # offsets: clear certify (p=.9987), borderline (p=.55), clear
+    # selection-fail (p=.0013). Grouped results must equal per-identity
+    # device-engine calls with the same fold_in'd keys.
+    sm = _smooth(0.0, batch_size=100)
+    offsets = [3.0, 0.126, -3.0, 3.0]
+    xs = [np.zeros(5) + np.array([o, 0, 0, 0, 0]) for o in offsets]
+    zs = [Z] * 4
+    # predictor emits class 1 iff p[0] > tau=0: id0 clear certify (label 1,
+    # p=.9987), id1 borderline (label 1, p=.55), id2 clear certify (label
+    # 0), id3 selection-fail (label 0 but the model picks 1).
+    labels = [1, 1, 0, 0]
+    master = jax.random.PRNGKey(42)
+    keys = [jax.random.fold_in(master, i) for i in range(4)]
+    singles = [sm.certify_adaptive(zs[i], xs[i], labels[i], 100, 2000,
+                                   0.001, keys[i], mode=mode,
+                                   chunk_batches=2, engine="device")
+               for i in range(4)]
+    grouped = sm.certify_adaptive_many(zs, xs, labels, 100, 2000, 0.001,
+                                       keys, mode=mode, chunk_batches=2)
+    assert grouped == singles
+    # the regimes actually differ (certify / selection-fail both present)
+    assert singles[0][1] > 0 and singles[3][1] == 0.0 and singles[3][0] == 1
+
+
+def test_grouped_engine_padding_is_invisible():
+    sm = _smooth(3.0)
+    keys = [jax.random.fold_in(jax.random.PRNGKey(1), i) for i in range(3)]
+    zs, xs, labels = [Z] * 3, [X] * 3, [0] * 3
+    args = (zs, xs, labels, 100, 2000, 0.001, keys)
+    plain = sm.certify_adaptive_many(*args, mode="sequential",
+                                     chunk_batches=2)
+    padded = sm.certify_adaptive_many(*args, mode="sequential",
+                                      chunk_batches=2, pad_to=8)
+    assert padded == plain and len(padded) == 3
+
+
+def test_grouped_engine_sharded_mesh():
+    mesh = get_mesh("mc")
+    sm = _smooth(3.0, batch_size=64, mesh=mesh)
+    keys = [jax.random.fold_in(jax.random.PRNGKey(0), i) for i in range(2)]
+    out = sm.certify_adaptive_many([Z, Z], [X, X], [0, 0], 100, 4000,
+                                   0.001, keys, mode="sequential",
+                                   chunk_batches=2)
+    for pred, gap, n_used in out:
+        assert pred == 0 and gap > 0 and n_used < 100 + 4000
+
+
 def test_threshold_tables_are_exact_and_ordered():
     cert = L2Certificate()
     valid = np.full((50,), 200, np.int64)

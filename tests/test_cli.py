@@ -189,6 +189,22 @@ def test_certify_adaptive_guaranteed_matches_fixed(workdir, data_dir,
                   "1", "--adaptive-slack", "0.0"] + common)
     assert rows(out_dev) == adapt
 
+    # Grouped dispatch (both identities in one program) must emit the
+    # identical TSV again (ragged-group padding is pinned in
+    # tests/test_adaptive_device.py).
+    out_grp = osp.join(workdir, "cert_adapt_grp.tsv")
+    certify.main(["--outfile", out_grp, "--adaptive", "guaranteed",
+                  "--adaptive-engine", "device", "--adaptive-group", "2",
+                  "--adaptive-chunk-batches", "1", "--adaptive-slack",
+                  "0.0"] + common)
+    assert rows(out_grp) == adapt
+
+    # --adaptive-group without the device engine is a usage error.
+    with pytest.raises(SystemExit):
+        certify.main(["--outfile", osp.join(workdir, "y.tsv"),
+                      "--adaptive", "guaranteed", "--adaptive-group", "2"]
+                     + common)
+
     # sequential mode also runs end-to-end and emits schema-valid rows
     out_seq = osp.join(workdir, "cert_seq.tsv")
     certify.main(["--outfile", out_seq, "--adaptive", "sequential"] + common)
