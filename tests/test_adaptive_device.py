@@ -185,6 +185,28 @@ def test_threshold_tables_are_exact_and_ordered():
             assert lb >= 0.5, (mode, k)
 
 
+def test_headline_config_stops_at_first_checkpoint():
+    # The deployment headline (docs/PERF.md "The in-graph engine and
+    # grouped dispatch"): N=10k, N0=100, alpha=0.001, batch 128, chunk
+    # poll = 1, slack 1.0. A pA~1 identity must settle at the FIRST
+    # checkpoint - n_used = N0 + 128 = 228, the measured on-chip number -
+    # and the emitted gap must be the checkpoint's own CP bound.
+    from certifyingfacerecognition_tpu.utils.stats import \
+        clopper_pearson_lower
+
+    sm = _smooth(3.0, batch_size=128)   # p(class 0) = .9987
+    pred, gap, n_used = sm.certify_adaptive(
+        Z, X, 0, 100, 10_000, 0.001, jax.random.PRNGKey(7),
+        mode="sequential", chunk_batches=1, slack=1.0, engine="device")
+    assert pred == 0 and n_used == 228
+    # 79 checkpoints -> alpha_early = alpha / (2*78); gap = the CP lower
+    # bound of the first checkpoint's own (n_a, m=128) at that level.
+    n_a = 128  # all-success first batch at p=.9987 under this seed
+    expect = sm.certificate.compute_gap(
+        clopper_pearson_lower(n_a, 128, 0.001 / 156))
+    assert gap == expect
+
+
 def test_threshold_table_single_chunk_alpha():
     # One checkpoint => no alpha split (mirrors the host engine's
     # n_chunks==1 branch).
