@@ -211,6 +211,40 @@ def test_certify_adaptive_guaranteed_matches_fixed(workdir, data_dir,
     assert len(open(out_seq).read().strip().split("\n")) == 3
 
 
+def test_certify_anisotropic_composes_with_adaptive(workdir, data_dir,
+                                                    embs_cache):
+    """--anisotropic-sigma (sigma vector = sigma * red_ellipse_diag_inv,
+    reference certify.py:85-95) composes with the adaptive estimator: the
+    stopping rules depend only on counts, so the grouped device engine must
+    reproduce the per-identity host-engine TSV exactly, and the radius
+    column must stay sigma.min() * gap."""
+    common = ["--face-recog-model", "insightface", "--sigma", "0.5",
+              "--anisotropic-sigma", "--data-dir", data_dir, "--resolution",
+              str(RES), "--N", "40", "--N0", "10", "--batch-sz", "20",
+              "--max", "3", "--adaptive", "guaranteed",
+              "--adaptive-chunk-batches", "1", "--adaptive-slack", "0.0"]
+    out_host = osp.join(workdir, "cert_aniso_host.tsv")
+    certify.main(["--outfile", out_host] + common)
+    out_grp = osp.join(workdir, "cert_aniso_grp.tsv")
+    certify.main(["--outfile", out_grp, "--adaptive-engine", "device",
+                  "--adaptive-group", "2"] + common)
+
+    def rows(path):
+        return [line.split("\t")[:6]
+                for line in open(path).read().strip().split("\n")[1:]]
+
+    host, grp = rows(out_host), rows(out_grp)
+    assert host == grp and len(host) == 2
+    # radius = sigma.min() * gap with the anisotropic per-attribute sigma.
+    from certifyingfacerecognition_tpu.ops.geometry import get_all_matrices
+
+    region = get_all_matrices()
+    sig_min = float(0.5 * np.min(np.asarray(region.red_ellipse_diag_inv)))
+    for row in host:
+        assert float(row[5]) == pytest.approx(sig_min * float(row[4]),
+                                              rel=1e-2, abs=1e-6)
+
+
 def test_certify_cascade_composes_with_adaptive_guaranteed(
         workdir, data_dir, embs_cache, embs_cache_sr8):
     """--cascade --adaptive guaranteed: both passes early-stop on futility
