@@ -64,6 +64,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--load-n-embs", type=int, default=1_000_000,
                         help="num of embs. Default is all of them (1M)")
     # ---- TPU-framework additions ----
+    parser.add_argument("--chunks", type=int, default=1,
+                        help="job-array sharding of the identity axis: "
+                             "split the post---skip/--max identity list "
+                             "into this many contiguous chunks (the "
+                             "reference's attack-CLI contract, "
+                             "attack_utils/opts.py:48-51, applied to "
+                             "certification — its certify.py has no "
+                             "sharding flag). Chunk membership depends "
+                             "only on --skip/--max, so --resume never "
+                             "reshuffles chunks.")
+    parser.add_argument("--num-chunk", type=int, default=0,
+                        help="which chunk this job certifies (0-based)")
     parser.add_argument("--gen-weights", type=str, default="random")
     parser.add_argument("--frm-weights", type=str, default="random")
     parser.add_argument("--data-dir", type=str,
@@ -343,6 +355,26 @@ def main(argv=None) -> None:
     x = np.zeros((num_dirs,), np.float32)
     key = jax.random.PRNGKey(args.seed)
 
+    # Reference striding arithmetic (certify.py:121-125), including its
+    # quirky ordering (the --max break is only reached by indices that
+    # pass --skip), then the job-array chunk split (contiguous, like the
+    # reference attack CLI's --chunks/--num-chunk). Membership depends
+    # only on the flags — never on the resume state — so re-running a
+    # chunk after a crash certifies exactly the missing identities.
+    strided = []
+    for i in range(num_classes):
+        if (i + 1) % args.skip != 0:
+            continue
+        if (i + 1) == args.max:
+            break
+        strided.append(i)
+    if not 0 <= args.num_chunk < args.chunks:
+        raise SystemExit("--num-chunk must be in [0, --chunks)")
+    if args.chunks > 1:
+        strided = [int(v) for v in
+                   np.array_split(np.asarray(strided, np.int64),
+                                  args.chunks)[args.num_chunk]]
+
     if args.adaptive != "off" and args.adaptive_group > 1:
         if args.adaptive_engine != "device":
             raise SystemExit("--adaptive-group > 1 requires "
@@ -350,17 +382,7 @@ def main(argv=None) -> None:
         if smoothed_native is not None:
             raise SystemExit("--adaptive-group is incompatible with "
                              "--cascade")
-        # Reference striding arithmetic (certify.py:121-125), identical to
-        # the per-identity loop below including its quirky ordering (the
-        # --max break is only reached by indices that pass --skip).
-        eligible = []
-        for i in range(num_classes):
-            if (i + 1) % args.skip != 0:
-                continue
-            if (i + 1) == args.max:
-                break
-            if i not in done:
-                eligible.append(i)
+        eligible = [i for i in strided if i not in done]
         group = args.adaptive_group
         for g0 in range(0, len(eligible), group):
             ids = eligible[g0:g0 + group]
@@ -389,12 +411,7 @@ def main(argv=None) -> None:
                               flush=True)
         return
 
-    for i in range(num_classes):
-        # Reference striding arithmetic (certify.py:121-125).
-        if (i + 1) % args.skip != 0:
-            continue
-        if (i + 1) == args.max:
-            break
+    for i in strided:
         if i in done:
             continue
         z = dataset[i]

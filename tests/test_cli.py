@@ -211,6 +211,42 @@ def test_certify_adaptive_guaranteed_matches_fixed(workdir, data_dir,
     assert len(open(out_seq).read().strip().split("\n")) == 3
 
 
+def test_certify_chunked_job_array(workdir, data_dir, embs_cache):
+    """--chunks/--num-chunk shard the identity axis for job arrays (the
+    reference attack CLI's contract applied to certification): per-chunk
+    TSVs are disjoint, their union is row-identical to the unchunked run
+    (per-identity keys depend only on the global index), and chunking
+    composes with the striding flags."""
+    common = ["--face-recog-model", "insightface", "--sigma", "0.5",
+              "--data-dir", data_dir, "--resolution", str(RES),
+              "--N", "40", "--N0", "10", "--batch-sz", "20"]
+
+    def rows(path):
+        return {line.split("\t")[0]: line.split("\t")[1:6]
+                for line in open(path).read().strip().split("\n")[1:]}
+
+    out_full = osp.join(workdir, "cert_chunk_full.tsv")
+    certify.main(["--outfile", out_full] + common)
+    parts = {}
+    for c in range(2):
+        out_c = osp.join(workdir, f"cert_chunk_{c}.tsv")
+        certify.main(["--outfile", out_c, "--chunks", "2",
+                      "--num-chunk", str(c)] + common)
+        parts[c] = rows(out_c)
+    assert sorted(parts[0]) == ["0", "1"] and sorted(parts[1]) == ["2", "3"]
+    assert {**parts[0], **parts[1]} == rows(out_full)
+
+    # composes with --skip (strided list is split, not the raw range)
+    out_s = osp.join(workdir, "cert_chunk_skip.tsv")
+    certify.main(["--outfile", out_s, "--skip", "2", "--chunks", "2",
+                  "--num-chunk", "1"] + common)
+    assert sorted(rows(out_s)) == ["3"]
+
+    with pytest.raises(SystemExit):
+        certify.main(["--outfile", osp.join(workdir, "z.tsv"), "--chunks",
+                      "2", "--num-chunk", "2"] + common)
+
+
 def test_certify_anisotropic_composes_with_adaptive(workdir, data_dir,
                                                     embs_cache):
     """--anisotropic-sigma (sigma vector = sigma * red_ellipse_diag_inv,
