@@ -22,6 +22,24 @@ Usage:
         [--model stylegan_ffhq] [--resolution 1024] [--test-num 4] \
         [--reference /root/reference] [--out converted.npz]
 
+FaceNet external-truth runbook (VERDICT r4 ask #4 — the in-repo torch
+oracle shares an author with the JAX port, so real-weight validation
+must anchor to the genuine facenet_pytorch package):
+
+  1. On any machine WITH facenet_pytorch installed (one pip install,
+     nothing from this repo needed beyond this file):
+         python -m certifyingfacerecognition_tpu.tools.validate_conversion \
+             --make-facenet-fixture fixture_vggface2.npz \
+             [--facenet-weights <state_dict.pth>]   # default: pretrained
+     This runs the REAL package model in eval mode on 8 seeded inputs
+     and stores {inputs, embs, weights_sha256} plus the package version.
+  2. Copy the fixture (and the weights .pth) next to this repo and run:
+         python -m certifyingfacerecognition_tpu.tools.validate_conversion \
+             --facenet-weights <state_dict.pth> --fixture fixture_vggface2.npz
+     The JAX port (models/facenet.py) must reproduce the fixture's
+     embeddings within --atol and the weights file must match the
+     fixture's sha256 — no self-authored oracle in the loop.
+
 Exit code 0 with one JSON verdict line on success; non-zero on fingerprint
 mismatch (override with --allow-unknown-pkl) or parity failure.
 
@@ -61,9 +79,87 @@ def md5_file(path: str, chunk: int = 1 << 20) -> str:
     return h.hexdigest()
 
 
+def sha256_file(path: str, chunk: int = 1 << 20) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def make_facenet_fixture(out: str, weights: str | None, test_num: int = 8
+                         ) -> int:
+    """Step 1 of the FaceNet runbook: run the GENUINE facenet_pytorch
+    package (must be installed; this repo's code is not involved in the
+    forward) on seeded inputs and persist a checksummed fixture."""
+    import torch
+    try:
+        import facenet_pytorch
+    except ImportError:
+        print("facenet_pytorch is not installed — run this step on a "
+              "machine with it (see module docstring)", file=sys.stderr)
+        return 3
+
+    rng = np.random.default_rng(0)
+    # The pipeline's FaceNet input contract: 160^2, Normalize(0.5, 0.5)
+    # range (gen_utils.py:77-85) — fixture inputs span [-1, 1].
+    x = rng.uniform(-1.0, 1.0, (test_num, 3, 160, 160)).astype(np.float32)
+    with torch.no_grad():
+        if weights:
+            model = facenet_pytorch.InceptionResnetV1().eval()
+            model.load_state_dict(torch.load(weights, map_location="cpu"),
+                                  strict=False)
+        else:
+            model = facenet_pytorch.InceptionResnetV1(
+                pretrained="vggface2").eval()
+        embs = model(torch.from_numpy(x)).numpy()
+    meta = {
+        "package_version": getattr(facenet_pytorch, "__version__", "?"),
+        "weights_sha256": sha256_file(weights) if weights else "pretrained",
+    }
+    np.savez(out, inputs=x, embs=embs, **meta)
+    print(json.dumps({"fixture": out, "embs_shape": list(embs.shape),
+                      **meta}))
+    return 0
+
+
+def validate_facenet_fixture(weights: str, fixture: str, atol: float) -> int:
+    """Step 2: the JAX port must reproduce the external fixture."""
+    import jax.numpy as jnp
+
+    from ..models import facenet
+    from ..utils import weights as W
+
+    z = np.load(fixture)
+    verdict = {"fixture": fixture, "weights": weights,
+               "fixture_weights_sha256": str(z["weights_sha256"])}
+    if str(z["weights_sha256"]) not in ("pretrained", sha256_file(weights)):
+        verdict["status"] = "WEIGHTS_MISMATCH"
+        print(json.dumps(verdict))
+        return 2
+    params = W.load_frm_params(weights, "facenet")
+    x_nhwc = jnp.asarray(np.transpose(z["inputs"], (0, 2, 3, 1)))
+    got = np.asarray(facenet.apply(params, x_nhwc), np.float32)
+    max_abs = float(np.abs(got - z["embs"]).max())
+    verdict.update(max_abs=max_abs, atol=atol,
+                   status="OK" if max_abs <= atol else "PARITY_FAIL")
+    print(json.dumps(verdict))
+    return 0 if max_abs <= atol else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--pkl", required=True)
+    p.add_argument("--pkl", default=None)
+    p.add_argument("--facenet-weights", default=None,
+                   help="FaceNet runbook: real facenet_pytorch state dict")
+    p.add_argument("--fixture", default=None,
+                   help="FaceNet runbook step 2: checksummed fixture .npz")
+    p.add_argument("--make-facenet-fixture", default=None, metavar="OUT",
+                   help="FaceNet runbook step 1 (requires the genuine "
+                        "facenet_pytorch package)")
     p.add_argument("--model", default="stylegan_ffhq",
                    choices=["stylegan_ffhq", "stylegan_celebahq",
                             "pggan_celebahq"])
@@ -82,6 +178,17 @@ def main(argv=None) -> int:
                         "forward; the reference logs ~1e-5 distances for "
                         "its own TF->torch conversion)")
     args = p.parse_args(argv)
+
+    if args.make_facenet_fixture:
+        return make_facenet_fixture(args.make_facenet_fixture,
+                                    args.facenet_weights, args.test_num)
+    if args.fixture:
+        if not args.facenet_weights:
+            p.error("--fixture requires --facenet-weights")
+        return validate_facenet_fixture(args.facenet_weights, args.fixture,
+                                        args.atol)
+    if not args.pkl:
+        p.error("--pkl is required (or use the FaceNet runbook flags)")
 
     verdict = {"pkl": args.pkl, "model": args.model}
 

