@@ -236,6 +236,38 @@ def test_validate_conversion_tool(fake_pkl, tmp_path, capsys):
     assert rc == 2
 
 
+@pytest.mark.slow
+def test_validate_conversion_tool_full_1024(tmp_path, capsys):
+    """VERDICT r4 ask #8: dry-run the ENTIRE real-weight chain — official-
+    format pkl -> stub unpickler -> npz -> JAX synthesis -> reference torch
+    generator parity — at the full 1024^2 deployment shape (the round-trip
+    tests above stop at leaf equality; this exercises the runbook command
+    itself end-to-end), so the moment a real snapshot is reachable the only
+    untested step is the snapshot's own bytes."""
+    import json
+    import os
+
+    from certifyingfacerecognition_tpu.tools import validate_conversion as VC
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    sd = stylegan.random_torch_style_state_dict(1024, seed=11)
+    tf_vars = _torch_sd_to_tf_vars(sd, 1024)
+    path = str(tmp_path / "fake-stylegan-1024.pkl")
+    _write_fake_official_pkl(path, {
+        k: (v * 2 if "Dense" in k else v) for k, v in tf_vars.items()})
+    out = str(tmp_path / "validated1024.npz")
+    rc = VC.main(["--pkl", path, "--model", "stylegan_ffhq",
+                  "--resolution", "1024", "--test-num", "1",
+                  "--allow-unknown-pkl", "--atol", "5e-4", "--out", out])
+    verdict = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and verdict["status"] == "OK"
+    assert verdict["jax_output_shape"] == [1, 3, 1024, 1024]
+    assert verdict["torch_parity"] is not None
+    assert verdict["torch_parity"]["max_abs"] <= 5e-4
+    assert os.path.isfile(out)
+
+
 @pytest.mark.skipif(
     "CFR_REAL_PKL" not in __import__("os").environ,
     reason="real-weight validation: set CFR_REAL_PKL=/path/to/"
