@@ -178,6 +178,13 @@ def measure_attack():
     identities' own embeddings (the real workload's labels), so success
     bookkeeping is meaningful, and the attack compute is shape-static
     either way (the scan never early-exits).
+
+    HBM note (v5e 16 GB): fab-t at 1024^2 needs BENCH_BATCH_ATTACK<=8 —
+    XLA lays out the tail transpose-conv's activation-grad temps
+    (bf16[B,1024,1024,16]) with the 16-wide channel dim minor-most, which
+    pads 8x to the (8,128) tile; at batch 16 three such 4 GB temps alone
+    exceed the chip (measured 17.79 G needed). PGD's backward schedules
+    without that peak and runs at the reference's batch 20.
     """
     from functools import partial
 
