@@ -78,9 +78,21 @@ def pairwise_dists(x: jnp.ndarray, y: jnp.ndarray, method: str = "insightface"
     return 1.0 - jnp.sum(x * y, axis=-1)
 
 
+def _topk_candidates(d2: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices [B, k] of the k smallest entries per row of d2 [B, N].
+
+    A single global lax.top_k, deliberately: a chunked two-stage
+    selection (per-2048-chunk top-k, then top-k over the chunk winners)
+    was measured 10x SLOWER on the chip at N = 10^6 (+43.7 ms vs +4.4 ms
+    on a 125 ms batch — XLA's TopK over one long row beats many short
+    rows; docs/PERF.md "The 1M-gallery head", round 5).
+    """
+    return jax.lax.top_k(-d2, k)[1]
+
+
 def nearest_refined(x: jnp.ndarray, gallery: jnp.ndarray,
-                    method: str = "insightface", k: int = 8
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    method: str = "insightface", k: int = 8,
+                    *, precision=_HI) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact nearest neighbour: (distance [B], index [B]).
 
     For 'insightface', candidates are pre-selected with the fast matmul
@@ -88,28 +100,36 @@ def nearest_refined(x: jnp.ndarray, gallery: jnp.ndarray,
     prediction matches the reference's exact-mode cdist argmin even when
     two gallery entries are close (squared distances returned). Cosine
     distances are exact already. Ties resolve to the lowest index, like
-    torch.argmin.
+    torch.argmin (explicit lexicographic (distance, index) tie-break on
+    the re-ranked candidates).
     """
     if method != "insightface":
         d = cdist(x, gallery, method)
         idx = jnp.argmin(d, axis=1)
         return jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0], idx
-    d2 = sq_euclidean_matmul(x, gallery)
+    d2 = sq_euclidean_matmul(x, gallery, precision=precision)
     k = min(k, gallery.shape[0])
-    _, idx = jax.lax.top_k(-d2, k)                    # [B, k] candidates
+    idx = _topk_candidates(d2, k)                      # [B, k] candidates
     cand = gallery[idx]                                # [B, k, 512]
     diff = x[:, None, :] - cand
     d_exact = jnp.sum(diff * diff, axis=-1)            # [B, k]
-    best = jnp.argmin(d_exact, axis=1)
-    dist = jnp.take_along_axis(d_exact, best[:, None], axis=1)[:, 0]
-    return dist, jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0]
+    best = jnp.argmin(d_exact, axis=1)[:, None]
+    d_best = jnp.take_along_axis(d_exact, best, axis=1)        # [B, 1]
+    # lowest-index winner among exact ties; NaN rows (all comparisons
+    # false — e.g. a non-finite embedding) keep argmin's candidate so the
+    # returned index is always in range
+    tie = jnp.min(jnp.where(d_exact == d_best, idx, gallery.shape[0]),
+                  axis=1)
+    win = jnp.where(tie == gallery.shape[0],
+                    jnp.take_along_axis(idx, best, axis=1)[:, 0], tie)
+    return d_best[:, 0], win
 
 
 def argmin_dist_refined(x: jnp.ndarray, gallery: jnp.ndarray,
-                        method: str = "insightface", k: int = 8
-                        ) -> jnp.ndarray:
+                        method: str = "insightface", k: int = 8,
+                        *, precision=_HI) -> jnp.ndarray:
     """Exact argmin-distance identity prediction [B] (see nearest_refined)."""
-    return nearest_refined(x, gallery, method, k)[1]
+    return nearest_refined(x, gallery, method, k, precision=precision)[1]
 
 
 def probs_from_dists(dists: jnp.ndarray, scale_dists: bool = True

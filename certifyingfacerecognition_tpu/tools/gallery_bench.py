@@ -112,9 +112,15 @@ def main(argv=None):
         e = stage_embed(gp, fp, g, w)
         return D.sq_euclidean_matmul(e, g)
 
+    def stage_matmul_high(gp, fp, g, w):
+        # 3-pass bf16 distance expansion (vs HIGHEST's 6): candidate-set
+        # selection only — the exact f32 re-rank still decides.
+        e = stage_embed(gp, fp, g, w)
+        return D.sq_euclidean_matmul(e, g, precision=jax.lax.Precision.HIGH)
+
     def stage_topk(gp, fp, g, w):
         d2 = stage_matmul(gp, fp, g, w)
-        return jax.lax.top_k(-d2, 8)[1]
+        return D._topk_candidates(d2, 8)
 
     def stage_refine(gp, fp, g, w):
         e = stage_embed(gp, fp, g, w)
@@ -122,8 +128,8 @@ def main(argv=None):
 
     stages = {"pre": stage_pre, "pret": stage_pret, "synth": stage_synth,
               "resize": stage_resize, "embed": stage_embed,
-              "matmul": stage_matmul, "topk": stage_topk,
-              "refine": stage_refine}
+              "matmul": stage_matmul, "matmul_high": stage_matmul_high,
+              "topk": stage_topk, "refine": stage_refine}
     names = (list(stages) if args.stages == "all"
              else args.stages.split(","))
 

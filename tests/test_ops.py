@@ -59,6 +59,41 @@ def test_argmin_refined_matches_exact_argmin_with_near_ties():
     np.testing.assert_array_equal(got, want)
 
 
+def test_nearest_refined_large_gallery_and_tie_break():
+    # Exact argmin (float64 ground truth) on a large gallery, plus an
+    # exact-duplicate tie that must resolve to the lowest global index
+    # (the explicit lexicographic (distance, index) re-rank tie-break,
+    # matching torch.argmin).
+    n = 136072
+    x = rng.standard_normal((4, 512)).astype(np.float32)
+    gallery = rng.standard_normal((n, 512)).astype(np.float32)
+    dup = (x[0] + 1e-3 * rng.standard_normal(512)).astype(np.float32)
+    gallery[54321] = dup
+    gallery[123456] = dup
+    x64, g64 = x.astype(np.float64), gallery.astype(np.float64)
+    d2_64 = ((x64 ** 2).sum(1)[:, None] + (g64 ** 2).sum(1)[None, :]
+             - 2.0 * x64 @ g64.T)
+    want = d2_64.argmin(1)
+    assert want[0] == 54321  # the tie resolved low in the ground truth too
+    dist, idx = D.nearest_refined(jnp.asarray(x), jnp.asarray(gallery))
+    np.testing.assert_array_equal(np.asarray(idx), want)
+    np.testing.assert_allclose(np.asarray(dist), d2_64.min(1), rtol=1e-4)
+
+
+def test_nearest_refined_nonfinite_query_stays_in_range():
+    # A non-finite embedding row (e.g. a garbage-weight dryrun forward)
+    # makes every exact re-rank comparison false; the returned index must
+    # still be in range (argmin fallback), never an out-of-range sentinel
+    # that a downstream bincount would silently drop.
+    x = np.full((2, 512), np.nan, np.float32)
+    x[1] = rng.standard_normal(512).astype(np.float32)
+    g = rng.standard_normal((100, 512)).astype(np.float32)
+    _, idx = D.nearest_refined(jnp.asarray(x), jnp.asarray(g))
+    assert 0 <= int(idx[0]) < 100
+    want = ((x[1:2, None, :] - g[None]) ** 2).sum(-1).argmin(1)[0]
+    assert int(idx[1]) == want
+
+
 def test_probs_from_dists():
     d = rng.uniform(10, 30, (3, 7)).astype(np.float32)
     p = np.asarray(D.probs_from_dists(jnp.asarray(d)))
