@@ -25,6 +25,11 @@ host pulls, smoothing/adaptive_device.py; fixed mode ignores it),
 AS_GROUP (identities per dispatch, device engine only — lax.map over
 the in-graph loop, amortising the per-dispatch launch + pull overhead).
 
+AS_GALLERY_PAD=M (default off): pad the real AS_GALLERY-row gallery to M
+rows with far-away on-device synthetics — decisions/pA structure
+untouched, but the distance matmul, top-k and per-class counting run at
+deployment gallery scale (the BASELINE 1M-identity head).
+
 AS_AB="FLAG=v1,v2": same-session A/B — re-run the whole study once per
 env-flag value in ONE process (fresh pipeline/trace per value; CFR_*
 flags are read at trace time), tagging each JSON line with the flag.
@@ -84,8 +89,26 @@ def run_study(tag=None):
     gallery = pipe.lat2embs(jnp.asarray(w_all), chunk=batch)
     device_sync(gallery)
     pipe.gallery = jnp.asarray(np.asarray(gallery, np.float32))
+    n_classes = n_gallery
+    pad_to = int(os.environ.get("AS_GALLERY_PAD", "0"))
+    if pad_to > n_gallery:
+        # Deployment-scale head: pad the real gallery with far-away rows
+        # generated ON DEVICE (a 2 GB host upload through the ~30 MB/s
+        # tunnel proves nothing). Pad rows sit ~8 embedding-shell radii
+        # from every real row, so the argmin — and with it the pA
+        # structure and every decision — is untouched, while the distance
+        # matmul, top-k and per-class counts all run at the padded scale.
+        real = pipe.gallery
+        r = float(jnp.mean(jnp.linalg.norm(real, axis=1)))
+        pad = jax.random.normal(jax.random.PRNGKey(99),
+                                (pad_to - n_gallery, 512), jnp.float32)
+        pad = pad / jnp.linalg.norm(pad, axis=1, keepdims=True) * r
+        pad = pad + jnp.full((512,), 10.0 * r / np.sqrt(512.0), jnp.float32)
+        pipe.gallery = jnp.concatenate([real, pad], axis=0)
+        device_sync(pipe.gallery)
+        n_classes = pad_to
     predict_fn, params = pipe.predict_fn_with_params()
-    smoothed = Smooth(predict_fn, n_gallery, np.full((5,), sigma_v,
+    smoothed = Smooth(predict_fn, n_classes, np.full((5,), sigma_v,
                                                      np.float32),
                       L2Certificate(), noise_dim=5, batch_size=batch,
                       params=params)
@@ -142,6 +165,7 @@ def run_study(tag=None):
         n_timed = n_ids - (group if mode != "fixed" and group > 1 else 1)
         out = {
             "mode": mode, "ids": n_ids, "N": N, "N0": N0, "sigma": sigma_v,
+            "gallery": n_classes,
             "batch": batch, "chunk_batches": chunk, "slack": slack,
             "gap_target": gap_target,
             "engine": engine if mode != "fixed" else None,
